@@ -1,0 +1,402 @@
+"""The Ray-Data-native crawl wave loop (SURVEY §3.4).
+
+Each wave: frontier → per-host politeness budget selection → fetch actor
+pool (url⋈pages probe) → stateless parse/sanitize/extract → split
+visited / candidates → in-wave ``groupby(url)`` first-wins dedup → sharded
+cuckoo seen-filter → next frontier + atomic checkpoint (visited parquet,
+frontier parquet, seen-shard snapshots, lineage row). Loop until the
+frontier is empty. Replaces the reference's per-domain thread +
+Mongo-upsert loop (``CrawlJobResource.java:36,80``; ``Crawler.java:19-30``).
+
+Determinism: record ranks are decided by discovery position (logical time),
+never by physical completion order — the final visited table sorted by
+``priority`` equals the serial oracle byte-for-byte regardless of
+``num_cpus``, politeness budget, or wave boundaries (SURVEY §7.3).
+
+Scale notes (10^10-URL design vs this sandbox):
+- The per-wave working set (selected frontier + its discoveries) is
+  budget-bounded; only it is materialized. The full corpus never is.
+- Frontier carry-over is checkpointed to Parquet every wave; at production
+  scale the frontier lives ONLY as priority-partitioned Parquet and each
+  wave reads the head partitions (the in-memory handoff here is an
+  optimization valid while ``host_budget × hosts`` bounds the wave).
+- The pages side of the fetch join never moves; probes read only the
+  ``host_bucket`` partitions of the batch being fetched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.urls import encode_priority, host_of_url
+from ..oracle import DOC_MAX, admit_job, load_jobs, load_robots
+from ..stages.fetch import add_host_bucket
+from ..stages.process import OUT_SCHEMA, first_wins
+from ..stages.worker import FetchProcess
+from ..state.politeness import RobotRules
+from ..state.seen import SeenSet
+
+FRONTIER_COLS = [
+    "url", "host", "referer", "page_type", "seed_idx", "depth", "doc_order", "priority",
+]
+
+
+def _frontier_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("host", pa.string()),
+        pa.field("referer", pa.string()),
+        pa.field("page_type", pa.string()),
+        pa.field("seed_idx", pa.int32()),
+        pa.field("depth", pa.int32()),
+        pa.field("doc_order", pa.int64()),
+        pa.field("priority", pa.int64()),
+    ]))
+
+
+def seed_frontier(fixture_dir: str, robots: RobotRules) -> tuple[pa.Table, list[str]]:
+    """Job admission (S3 semantics) → initial frontier + initially-seen urls.
+
+    Strategy per job: sitemap when robots advertises one, else browser
+    (``CrawlJobResource.java:111-119``); global seed_idx numbering matches
+    the oracle.
+    """
+    jobs = load_jobs(fixture_dir)
+    rows: list[dict] = []
+    seen0: list[str] = []
+    gidx = 0
+    for job in jobs:
+        host = host_of_url(job["homepage"])
+        sitemaps = robots.sitemaps_for(host) + list(job.get("additionalSitemaps", []))
+        if sitemaps:
+            for m, sm in enumerate(sitemaps):
+                if sm in seen0 or not robots.allowed_one(sm, host):
+                    continue
+                seen0.append(sm)
+                rows.append(dict(url=sm, host=host, referer="", page_type="sitemap",
+                                 seed_idx=gidx, depth=0, doc_order=m,
+                                 priority=int(encode_priority(gidx, 0, m))))
+            gidx += max(1, len(job.get("seeds", [])))
+            continue
+        for seed in admit_job(job):
+            if robots.allowed_one(seed, host) and seed not in seen0:
+                seen0.append(seed)
+                rows.append(dict(url=seed, host=host, referer="", page_type="shelf",
+                                 seed_idx=gidx, depth=0, doc_order=0,
+                                 priority=int(encode_priority(gidx, 0, DOC_MAX))))
+            gidx += 1
+    return _frontier_table(rows), seen0
+
+
+class CrawlPipeline:
+    """One engine run over every job in a fixture dir (resumable)."""
+
+    def __init__(
+        self,
+        fixture_dir: str,
+        workdir: str,
+        fetch_leaves: bool = True,
+        host_budget: int = 64,
+        num_seen_shards: int = 4,
+        seen_log2_buckets: int = 18,
+        fetch_concurrency: int | tuple[int, int] = 4,
+        fetch_batch_size: int = 128,
+        checkpoint: bool = True,
+        engine: str = "pool",  # pool | ray_data | ray_data_distributed
+    ):
+        with open(os.path.join(fixture_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.fixture_dir = fixture_dir
+        self.pages_dir = os.path.join(fixture_dir, "pages")
+        self.num_buckets = int(self.meta["num_buckets"])
+        self.workdir = workdir
+        self.fetch_leaves = fetch_leaves
+        self.host_budget = host_budget
+        self.num_seen_shards = num_seen_shards
+        self.seen_log2_buckets = seen_log2_buckets
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.checkpoint = checkpoint
+        assert engine in ("pool", "ray_data", "ray_data_distributed")
+        self.engine = engine
+        self.robots = load_robots(fixture_dir)
+        self.robots_ref = None  # ray.put once at run() start (broadcast small side)
+        self.pool: list | None = None  # persistent CrawlWorker actors (engine="pool")
+        self.lineage: list[dict] = []
+
+    def _pool_size(self) -> int:
+        c = self.fetch_concurrency
+        return c[1] if isinstance(c, tuple) else c
+
+    # -- checkpoint layout --------------------------------------------------
+    def _wave_dir(self, w: int) -> str:
+        return os.path.join(self.workdir, f"wave-{w:05d}")
+
+    def _committed_waves(self) -> list[int]:
+        if not os.path.isdir(self.workdir):
+            return []
+        out = []
+        for d in os.listdir(self.workdir):
+            if d.startswith("wave-") and not d.endswith(".tmp"):
+                out.append(int(d.split("-")[1]))
+        return sorted(out)
+
+    def _commit_wave(self, w: int, visited: pa.Table, frontier: pa.Table,
+                     seen: SeenSet, lineage_row: dict) -> None:
+        tmp = self._wave_dir(w) + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(visited, os.path.join(tmp, "visited.parquet"))
+        pq.write_table(frontier, os.path.join(tmp, "frontier_next.parquet"))
+        seen.snapshot(os.path.join(tmp, "seen"))
+        with open(os.path.join(tmp, "lineage.json"), "w") as f:
+            json.dump(lineage_row, f)
+        final = self._wave_dir(w)
+        if os.path.isdir(final):  # stale from a killed run
+            import shutil
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # atomic commit
+
+    # -- one wave -----------------------------------------------------------
+    def _run_wave(self, w: int, frontier: pa.Table, seen: SeenSet) -> tuple[pa.Table, pa.Table, dict]:
+        t0 = time.perf_counter()
+        fdf = frontier.to_pandas()
+
+        # politeness: per-host budget, lowest priority first (deterministic)
+        sel_parts = []
+        rest_parts = []
+        for _, g in fdf.groupby("host", sort=True):
+            g = g.sort_values(["priority", "url"], kind="mergesort")
+            sel_parts.append(g.iloc[: self.host_budget])
+            rest_parts.append(g.iloc[self.host_budget:])
+        selected = pd.concat(sel_parts) if sel_parts else fdf.iloc[:0]
+        leftovers = pd.concat(rest_parts) if rest_parts else fdf.iloc[:0]
+
+        if len(selected) == 0:
+            return frontier.slice(0, 0), pa.Table.from_pylist([], schema=OUT_SCHEMA), {}
+
+        sel_t = add_host_bucket(
+            pa.Table.from_pandas(selected, preserve_index=False), self.num_buckets
+        )
+        # order by host_bucket so each fetch probe touches one corpus
+        # partition, then split into blocks on bucket boundaries so the
+        # actor pool actually parallelizes (from_arrow of one table = 1 block)
+        order = np.lexsort((selected["priority"].to_numpy(), sel_t.column("host_bucket").to_numpy()))
+        sel_t = sel_t.take(pa.array(order))
+        n_blocks = max(1, min(self._pool_size() * 2, sel_t.num_rows))
+        chunk = (sel_t.num_rows + n_blocks - 1) // n_blocks
+        blocks = [sel_t.slice(i * chunk, chunk) for i in range(n_blocks) if i * chunk < sel_t.num_rows]
+        if self.engine != "pool":
+            ds = rd.from_arrow(blocks)
+            processed = ds.map_batches(
+                FetchProcess,
+                fn_constructor_args=(self.pages_dir, self.num_buckets,
+                                     self.robots_ref, self.fetch_leaves),
+                batch_format="pyarrow",
+                batch_size=self.fetch_batch_size,
+                concurrency=self.fetch_concurrency,
+                num_cpus=1,
+            )
+
+        if self.engine == "ray_data_distributed":
+            # fully Ray-native split + hash-partitioned first-wins dedup —
+            # the production-scale path (wave working set stays distributed)
+            processed = processed.materialize()
+            visited_fetched = processed.filter(expr="kind == 'visited'")
+            candidates = processed.filter(expr="kind == 'candidate'")
+            n_cand = candidates.count()
+            if n_cand:
+                deduped = candidates.groupby("url").map_groups(
+                    first_wins, batch_format="pandas"
+                )
+                cand_t = pa.Table.from_pandas(
+                    deduped.to_pandas(), schema=OUT_SCHEMA, preserve_index=False
+                ).select(OUT_SCHEMA.names)
+            else:
+                cand_t = pa.Table.from_pylist([], schema=OUT_SCHEMA)
+            vis_in = pa.Table.from_pandas(
+                visited_fetched.to_pandas(), schema=OUT_SCHEMA, preserve_index=False
+            ) if visited_fetched.count() else pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        else:
+            # driver-side wave assembly: the per-wave working set is
+            # politeness-budget-bounded by design, so vectorized pyarrow on
+            # the driver is cheaper than an all-to-all for it; flip
+            # ``distributed_dedup`` when budget × active-hosts outgrows one
+            # node (both paths are tested for identical output).
+            import pyarrow.compute as pc
+
+            if self.engine == "pool":
+                # persistent actor pool: round-robin the wave's Arrow chunks
+                refs = [
+                    self.pool[i % len(self.pool)].process.remote(b)
+                    for i, b in enumerate(blocks)
+                ]
+                out_t = pa.concat_tables(ray.get(refs)).combine_chunks()
+            else:
+                out_t = pa.concat_tables(
+                    ray.get(processed.to_arrow_refs())
+                ).combine_chunks()
+            kind = out_t.column("kind")
+            vis_in = out_t.filter(pc.equal(kind, "visited"))
+            candidates_t = out_t.filter(pc.equal(kind, "candidate"))
+            n_cand = candidates_t.num_rows
+            if n_cand:
+                # first-wins by rank: sort by (priority, url), keep first
+                # occurrence of each url (vectorized)
+                idx = pc.sort_indices(
+                    candidates_t,
+                    sort_keys=[("priority", "ascending"), ("url", "ascending")],
+                )
+                srt = candidates_t.take(idx)
+                keep = ~srt.column("url").to_pandas().duplicated().to_numpy()
+                cand_t = srt.filter(pa.array(keep))
+            else:
+                cand_t = pa.Table.from_pylist([], schema=OUT_SCHEMA)
+
+        # cross-wave dedup: batched RPC into the cuckoo shards
+        from ..functions.urls import hash_strings
+
+        if cand_t.num_rows:
+            h = hash_strings(cand_t.column("url"))
+            was_seen = seen.contains_and_add(h)
+            fresh = cand_t.filter(pa.array(~was_seen))
+            dedup_hits = int(was_seen.sum())
+        else:
+            fresh = cand_t
+            dedup_hits = 0
+
+        vis_t = vis_in.drop_columns(["kind"])
+
+        # split fresh candidates: fetchable → next frontier; leaf records →
+        # visited-at-discovery (reference records products without fetching)
+        fetchable_mask = np.array(
+            [
+                (pt in ("shelf", "sitemap")) or (pt == "product" and self.fetch_leaves)
+                for pt in fresh.column("page_type").to_pylist()
+            ],
+            dtype=bool,
+        )
+        to_frontier = fresh.filter(pa.array(fetchable_mask))
+        recorded_now = fresh.filter(pa.array(~fetchable_mask))
+        if recorded_now.num_rows:
+            rec = recorded_now.drop_columns(["kind"])
+            vis_t = pa.concat_tables([vis_t, rec])
+
+        next_frontier = pa.concat_tables([
+            _frontier_table([]),
+            pa.Table.from_pandas(leftovers, preserve_index=False).select(FRONTIER_COLS)
+            if len(leftovers) else _frontier_table([]),
+            to_frontier.select(FRONTIER_COLS),
+        ])
+
+        lineage_row = {
+            "job_id": os.path.basename(self.workdir.rstrip("/")),
+            "wave": w,
+            "urls_in": int(len(selected)),
+            "fetched": int(vis_t.num_rows - recorded_now.num_rows),
+            "recorded": int(vis_t.num_rows),
+            "links_extracted": int(n_cand),
+            "dedup_hits": dedup_hits,
+            "frontier_out": int(next_frontier.num_rows),
+            "wall_sec": round(time.perf_counter() - t0, 4),
+        }
+        return next_frontier, vis_t, lineage_row
+
+    # -- full run -----------------------------------------------------------
+    def run(self, resume: bool = False, max_waves: int | None = None) -> dict:
+        """Run to frontier exhaustion (or ``max_waves``, simulating a kill).
+
+        ``resume=True`` restores the last atomically-committed wave's seen
+        shards + frontier and continues — the north_rule's
+        resume-from-checkpoint contract.
+        """
+        os.makedirs(self.workdir, exist_ok=True)
+        # validate every job spec BEFORE creating any actors — an invalid
+        # seed must fail fast (HTTP-400 semantics, CrawlJobResource.java:83-85)
+        # without leaving half-constructed actor pools behind
+        for job in load_jobs(self.fixture_dir):
+            admit_job(job)
+        self.robots_ref = ray.put(self.robots)
+        if self.engine == "pool" and self.pool is None:
+            from ..stages.worker import CrawlWorker
+
+            self.pool = [
+                CrawlWorker.remote(self.pages_dir, self.num_buckets,
+                                   self.robots_ref, self.fetch_leaves)
+                for _ in range(self._pool_size())
+            ]
+        seen = SeenSet(self.num_seen_shards, self.seen_log2_buckets)
+        self._seen = seen
+
+        start_wave = 0
+        if resume:
+            waves = self._committed_waves()
+            if waves:
+                last = waves[-1]
+                seen.restore(os.path.join(self._wave_dir(last), "seen"))
+                frontier = pq.read_table(
+                    os.path.join(self._wave_dir(last), "frontier_next.parquet")
+                )
+                start_wave = last + 1
+            else:
+                resume = False
+        if not resume or start_wave == 0:
+            frontier, seen0 = seed_frontier(self.fixture_dir, self.robots)
+            if seen0:
+                from ..functions.urls import hash_strings
+
+                seen.contains_and_add(hash_strings(pa.array(seen0, type=pa.string())))
+
+        w = start_wave
+        while frontier.num_rows > 0 and (max_waves is None or w < start_wave + max_waves):
+            frontier, visited_w, lineage_row = self._run_wave(w, frontier, seen)
+            if not lineage_row:
+                break
+            self.lineage.append(lineage_row)
+            if self.checkpoint:
+                self._commit_wave(w, visited_w, frontier, seen, lineage_row)
+            else:
+                os.makedirs(self._wave_dir(w), exist_ok=True)
+                pq.write_table(visited_w, os.path.join(self._wave_dir(w), "visited.parquet"))
+            w += 1
+
+        return {
+            "waves": w,
+            "visited_rows": int(sum(r["recorded"] for r in self.lineage)),
+            "seen_count": seen.count(),
+            "workdir": self.workdir,
+        }
+
+    def close(self) -> None:
+        """Release pool + seen-shard actors promptly (tests share a small
+        Ray session; lingering 1-CPU actors would starve the next run)."""
+        if self.pool:
+            for a in self.pool:
+                ray.kill(a)
+            self.pool = None
+        seen = getattr(self, "_seen", None)
+        if seen is not None:
+            for s in seen.shards:
+                ray.kill(s)
+            self._seen = None
+
+    # -- result access ------------------------------------------------------
+    def visited_table(self) -> pa.Table:
+        """All visited rows across committed waves, sorted by record rank."""
+        parts = []
+        for w in self._committed_waves():
+            p = os.path.join(self._wave_dir(w), "visited.parquet")
+            if os.path.exists(p):
+                parts.append(pq.read_table(p))
+        if not parts:
+            return pa.Table.from_pylist([], schema=OUT_SCHEMA).drop_columns(["kind"])
+        t = pa.concat_tables(parts)
+        return t.take(pa.compute.sort_indices(t, sort_keys=[("priority", "ascending")]))

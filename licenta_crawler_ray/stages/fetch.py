@@ -1,0 +1,87 @@
+"""Fetch stage — the in-sandbox "network" (SURVEY §2.1 S1/S2, §2.4).
+
+The reference fetched live with a headless browser
+(``BrowserCrawler.java:94-99,128,133-134``) or ``HttpURLConnection``
+(``SitemapSaxCrawler.java:56-67``). Per ``BASELINE.json.input_hint`` the
+rebuild's fetch is a **url→html probe of the Common-Crawl-style pages
+Parquet**: an actor-pool ``map_batches`` stage whose actors hold a lazy
+``pyarrow.dataset`` handle over the hive-partitioned corpus and, per
+frontier batch, read only the ``host_bucket`` partitions and row groups
+that can contain the probed URLs (the corpus is written sorted-by-url with
+small row groups, so url min/max statistics prune).
+
+Scale: the big side (pages) never moves — each probe ships only the batch's
+URLs to the scan and returns only matching rows. Frontier batches arrive
+grouped by host_bucket (the engine-wide partition key), so a probe touches
+O(1) partitions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..functions.urls import hash_strings
+
+
+class Fetcher:
+    """Actor-pool callable: frontier batch → batch + ``html`` + ``fetch_error``.
+
+    ``__init__`` (once per actor) opens the dataset handle; ``__call__``
+    (per batch) runs the pruned probe. Mirrors the reference's one-browser-
+    per-crawler lifecycle (``BrowserCrawler.java:71,94-99,119``) with the
+    browser replaced by the corpus handle.
+    """
+
+    def __init__(self, pages_dir: str, num_buckets: int):
+        self.ds = pads.dataset(pages_dir, partitioning="hive")
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return self._empty_like(batch)
+        urls = batch.column("url")
+        buckets = pc.unique(batch.column("host_bucket"))
+        probe = self.ds.to_table(
+            columns=["url", "html", "warc_ts"],
+            filter=pc.field("host_bucket").isin(buckets) & pc.field("url").isin(urls),
+        )
+        # hash-join probe result back onto the batch (left join, misses → null)
+        idx_of = {u: i for i, u in enumerate(probe.column("url").to_pylist())}
+        html_col = probe.column("html").to_pylist()
+        ts_col = probe.column("warc_ts").to_pylist()
+        htmls, tss, errs = [], [], []
+        for u in urls.to_pylist():
+            i = idx_of.get(u)
+            if i is None:
+                htmls.append(None)
+                tss.append(None)
+                errs.append("fetch_miss")
+            else:
+                htmls.append(html_col[i])
+                tss.append(ts_col[i])
+                errs.append("")
+        return batch.append_column("html", pa.array(htmls, type=pa.binary())) \
+                    .append_column("retrieved_ts", pa.array(tss, type=pa.timestamp("us"))) \
+                    .append_column("fetch_error", pa.array(errs, type=pa.string()))
+
+    @staticmethod
+    def _empty_like(batch: pa.Table) -> pa.Table:
+        return batch.append_column("html", pa.array([], type=pa.binary())) \
+                    .append_column("retrieved_ts", pa.array([], type=pa.timestamp("us"))) \
+                    .append_column("fetch_error", pa.array([], type=pa.string()))
+
+
+def add_host_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Attach the engine-wide host-hash partition key."""
+    import numpy as np
+
+    h = hash_strings(batch.column("host"))
+    col = pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    if "host_bucket" in batch.column_names:
+        return batch.set_column(
+            batch.column_names.index("host_bucket"), "host_bucket", col
+        )
+    return batch.append_column("host_bucket", col)

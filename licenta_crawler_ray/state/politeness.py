@@ -1,0 +1,93 @@
+"""Per-host politeness + robots gate (SURVEY §2.3 T1/T3, §4).
+
+The reference's politeness mechanism is structural — one browser per domain,
+strictly serial page visits (explicit design comment,
+``BrowserCrawler.java:32-39``); robots rules are fetched once per job and
+carried on the Job (``CrawlJobResource.java:113``, ``SitemapSaxCrawler.java:53``).
+
+Rebuild semantics:
+- **Robots filter**: per-host disallow prefixes; applied to every candidate
+  URL (links, sitemap children, page URLs) before dedup. The rules table is
+  a *small side*: ``ray.put`` once, read in every gate task — never
+  re-shipped per batch and never a shuffle join.
+- **Per-host budget**: at most ``budget`` fetches per host per wave; the
+  remainder stays in the frontier for later waves (carry-over). Within a
+  wave a host's selected rows are processed lowest-priority-first; host-hash
+  partitioning means one logical owner per host. Because record ranks are
+  derived from discovery (depth, doc_order), not wall time, budget throttling
+  never changes the final visited set or its order (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class RobotRules:
+    """Immutable per-host robots rules (disallow prefixes + advertised sitemaps)."""
+
+    def __init__(self, per_host: dict[str, dict]):
+        # normalize: host -> tuple of disallow path-prefixes
+        self.disallow = {
+            h: tuple(r.get("disallow", ())) for h, r in per_host.items()
+        }
+        self.sitemaps = {h: list(r.get("sitemaps", ())) for h, r in per_host.items()}
+
+    def allowed_one(self, url: str, host: str) -> bool:
+        rules = self.disallow.get(host)
+        if not rules:
+            return True
+        # path starts after scheme://host
+        idx = url.find("/", url.find("//") + 2)
+        path = url[idx:] if idx >= 0 else "/"
+        return not any(path.startswith(p) for p in rules)
+
+    def allowed(self, urls: list[str], hosts: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.allowed_one(u, h) for u, h in zip(urls, hosts)),
+            dtype=bool,
+            count=len(urls),
+        )
+
+    def sitemaps_for(self, host: str) -> list[str]:
+        return self.sitemaps.get(host, [])
+
+
+class RobotsGate:
+    """``map_batches`` stage: drop robots-disallowed candidate rows.
+
+    Constructed with an object ref to the broadcast :class:`RobotRules`
+    (``ray.put`` on the driver); resolves it once per actor in ``__init__``
+    — the actor-pool pattern for stateful stages.
+    """
+
+    def __init__(self, rules_ref):
+        self.rules: RobotRules = ray.get(rules_ref) if not isinstance(rules_ref, RobotRules) else rules_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ok = self.rules.allowed(
+            batch.column("url").to_pylist(), batch.column("host").to_pylist()
+        )
+        return batch.filter(pa.array(ok))
+
+
+def select_host_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Mark the ``budget`` lowest-priority rows of one host's frontier group.
+
+    Used inside ``groupby("host").map_groups``; adds a ``selected`` bool
+    column. Deterministic: ties cannot occur (priorities are unique per
+    (url, discovery) and deduped first-wins before this point).
+    """
+    df = df.sort_values(["priority", "url"], kind="mergesort")
+    sel = np.zeros(len(df), dtype=bool)
+    fetchable = df["page_type"].isin(["shelf", "sitemap", "product"]).to_numpy()
+    take = np.nonzero(fetchable)[0][:budget] if budget >= 0 else np.nonzero(fetchable)[0]
+    sel[take] = True
+    df = df.copy()
+    df["selected"] = sel
+    return df

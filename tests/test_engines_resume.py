@@ -1,0 +1,59 @@
+"""Engine-path equivalence + checkpoint/resume (SURVEY §5.3-§5.4)."""
+
+import pyarrow as pa
+import pytest
+
+from licenta_crawler_ray.oracle import crawl_oracle
+from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
+
+
+def _visited(fixture, workdir, **kw):
+    p = CrawlPipeline(fixture, workdir, fetch_leaves=True, **kw)
+    p.run()
+    t = p.visited_table()
+    p.close()
+    return t
+
+
+def test_ray_data_engine_matches_pool(tiny_fixture, tmp_path):
+    a = _visited(tiny_fixture, str(tmp_path / "pool"), engine="pool")
+    b = _visited(tiny_fixture, str(tmp_path / "rd"), engine="ray_data")
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_ray_data_distributed_dedup_matches(tiny_fixture, tmp_path):
+    a = _visited(tiny_fixture, str(tmp_path / "pool"), engine="pool")
+    c = _visited(tiny_fixture, str(tmp_path / "rdd"), engine="ray_data_distributed")
+    assert a.to_pylist() == c.to_pylist()
+
+
+def test_kill_and_resume_equals_uninterrupted(small_fixture, tmp_path):
+    wd = str(tmp_path / "killed")
+    p1 = CrawlPipeline(small_fixture, wd, fetch_leaves=True)
+    p1.run(max_waves=3)  # simulate a kill after wave 2's commit
+    p1.close()
+
+    p2 = CrawlPipeline(small_fixture, wd, fetch_leaves=True)
+    p2.run(resume=True)
+    got = p2.visited_table()
+    p2.close()
+
+    oracle = crawl_oracle(small_fixture, fetch_leaves=True)
+    exp = oracle.sorted_visited()
+    assert got.num_rows == len(exp)
+    for g, e in zip(got.to_pylist(), exp):
+        assert g["url"] == e.url and g["priority"] == e.priority
+        assert g["text"] == e.text
+
+
+def test_resume_noop_when_complete(tiny_fixture, tmp_path):
+    wd = str(tmp_path / "full")
+    p1 = CrawlPipeline(tiny_fixture, wd, fetch_leaves=True)
+    p1.run()
+    n1 = p1.visited_table().num_rows
+    p1.close()
+    p2 = CrawlPipeline(tiny_fixture, wd, fetch_leaves=True)
+    p2.run(resume=True)
+    n2 = p2.visited_table().num_rows
+    p2.close()
+    assert n2 == n1

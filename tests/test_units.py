@@ -1,0 +1,148 @@
+"""Unit tests per operator (SURVEY §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from licenta_crawler_ray.functions import urls as U
+from licenta_crawler_ray.functions.extract import (
+    extract_next_page,
+    extract_product_links,
+    extract_text,
+    maybe_gunzip,
+    parse_sitemap,
+)
+from licenta_crawler_ray.state.seen import CuckooFilter
+
+
+class TestUrlFns:
+    def test_host_of_url(self):
+        assert U.host_of_url("http://Shop.Example.RO:8080/x?y=1") == "shop.example.ro"
+        assert U.host_of_url("http://user:pw@h.com/p") == "h.com"
+        assert U.host_of_url("not a url") == ""
+
+    def test_absolutize(self):
+        assert U.absolutize("http://h.com/shelf/1", "/product/2") == "http://h.com/product/2"
+        assert U.absolutize("http://h.com/a/b", "../c") == "http://h.com/c"
+        assert U.absolutize("http://h.com/", "http://other.com/x") == "http://other.com/x"
+
+    def test_validation(self):
+        assert U.is_valid_http_url("https://a.b/c")
+        assert not U.is_valid_http_url("ftp://a.b/c")
+        assert not U.is_valid_http_url("/relative")
+        assert U.same_host("http://a.b/x", "https://A.B/y")
+        assert not U.same_host("http://a.b/x", "http://c.d/y")
+
+    def test_hash_strings_matches_scalar(self):
+        vals = ["", "a", "http://shop000.example.com/product/7", "αβγ"]
+        arr = pa.array(vals, type=pa.string())
+        vec = U.hash_strings(arr)
+        for v, h in zip(vals, vec):
+            assert U.fnv1a64(v) == int(h)
+
+    def test_priority_roundtrip(self):
+        si, d, o = U.decode_priority(U.encode_priority(37, 1023, 99999))
+        assert (int(si), int(d), int(o)) == (37, 1023, 99999)
+        # lexicographic order preserved
+        a = U.encode_priority(0, 5, U.decode_priority(0)[2] + 3)
+        assert U.encode_priority(0, 4, (1 << 24) - 1) < U.encode_priority(0, 5, 0)
+        assert U.encode_priority(1, 0, 0) > U.encode_priority(0, 1 << 19, 0)
+
+
+class TestExtract:
+    def test_text_spec(self):
+        html = (
+            b"<html><head><title>T</title><script>x<1</script>"
+            b"<style>a{}</style></head><body><!-- c -->"
+            b"<h1>A  B</h1><p>c&amp;d\xc4\x83</p><span>in</span><span>line</span>"
+            b"<noscript>no</noscript><br>tail</body></html>"
+        )
+        assert extract_text(html) == "T\nA B\nc&dă\ninline\ntail"
+
+    def test_text_deterministic(self):
+        html = b"<div>x <b>y</b>\n\n z</div>"
+        assert extract_text(html) == extract_text(html)
+
+    def test_product_links_leafmost_docorder(self):
+        html = (
+            b"<div class='produse-wrap'>"  # outer also matches 'produ' but is not leaf-most
+            b"<div class='produ-box'><img src='a'><a href='/p/1'>x</a></div>"
+            b"<div class='produ-box'><a href='/p/skip-no-img'>y</a></div>"
+            b"<div class='produ-box'><img src='b'><a href='/p/2'>z</a></div>"
+            b"<img src='outer'><a href='/outer'>o</a>"
+            b"</div>"
+        )
+        assert extract_product_links(html, "http://h.com/s") == [
+            "http://h.com/p/1",
+            "http://h.com/p/2",
+        ]
+
+    def test_next_page(self):
+        mid = (
+            b"<ul class='pagination'><li><a href='/shelf/0'>1</a></li>"
+            b"<li class='active'><a href='/shelf/1'>2</a></li>"
+            b"<li><a href='/shelf/2'>3</a></li></ul>"
+        )
+        assert extract_next_page(mid, "http://h.com/shelf/1") == "http://h.com/shelf/2"
+        last = (
+            b"<ul class='pagination'><li class='active'><a href='/shelf/1'>2</a></li>"
+            b"<li class='disabled'><a href='#'>next</a></li></ul>"
+        )
+        assert extract_next_page(last, "http://h.com/shelf/1") is None
+        assert extract_next_page(b"<div>no pagination</div>", "http://h.com/") is None
+
+    def test_sitemap_parse_and_gunzip(self):
+        import gzip
+
+        xml = (
+            b'<?xml version="1.0"?><urlset><url><loc>http://h.com/a</loc></url>'
+            b"<url><loc> http://h.com/b </loc></url></urlset>"
+        )
+        res = parse_sitemap(gzip.compress(xml, mtime=0))
+        assert not res.is_index and res.urls == ["http://h.com/a", "http://h.com/b"]
+        idx = b"<sitemapindex><sitemap><loc>http://h.com/s1.xml</loc></sitemap></sitemapindex>"
+        res2 = parse_sitemap(idx)
+        assert res2.is_index and res2.urls == ["http://h.com/s1.xml"]
+        assert maybe_gunzip(xml) == xml
+
+
+class TestCuckoo:
+    def test_no_false_negatives_under_overload(self):
+        f = CuckooFilter(log2_buckets=7)  # 512 slots, insert 3x capacity
+        rng = np.random.default_rng(7)
+        keys = rng.integers(1, 2**63, size=1536, dtype=np.uint64)
+        f.contains_and_add(keys)
+        assert f.contains(keys).all()
+
+    def test_fp_rate_bounded(self):
+        f = CuckooFilter(log2_buckets=14)
+        rng = np.random.default_rng(8)
+        f.contains_and_add(rng.integers(1, 2**63, size=20_000, dtype=np.uint64))
+        fresh = rng.integers(1, 2**63, size=50_000, dtype=np.uint64)
+        assert f.contains(fresh).mean() < 0.01
+
+    def test_in_batch_first_wins(self):
+        f = CuckooFilter(log2_buckets=8)
+        out = f.contains_and_add(np.array([5, 5, 6, 5, 6], dtype=np.uint64))
+        assert out.tolist() == [False, True, False, True, True]
+
+    def test_snapshot_roundtrip(self, tmp_path):
+        f = CuckooFilter(log2_buckets=7)
+        rng = np.random.default_rng(9)
+        keys = rng.integers(1, 2**63, size=1000, dtype=np.uint64)
+        f.contains_and_add(keys)
+        p = str(tmp_path / "s.npz")
+        f.save(p)
+        g = CuckooFilter.load(p)
+        assert g.count == f.count
+        assert g.contains(keys).all()
+
+
+class TestRobots:
+    def test_disallow_prefix(self):
+        from licenta_crawler_ray.state.politeness import RobotRules
+
+        r = RobotRules({"h.com": {"disallow": ["/private/"], "sitemaps": []}})
+        assert r.allowed_one("http://h.com/product/1", "h.com")
+        assert not r.allowed_one("http://h.com/private/p", "h.com")
+        assert r.allowed_one("http://other.com/private/p", "other.com")
