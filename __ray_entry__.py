@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl pipeline (smoke). ``queries()`` — one entry
+per implemented operator/pipeline from SURVEY.md §2 plus the
+training-data-pipeline operator suite. ``oracle_sql()`` — DuckDB
+equivalents for every SQL-expressible query (crawl-engine results and
+approximate/sketch operators are rows-only by nature; their value-level
+verification lives in tests/ against the single-process oracle).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,163 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl (fetch+extract leaves) over the deterministic
+    Common-Crawl-style fixture corpus (input_hint schema), returned as a
+    pandas DataFrame in record-rank order."""
+    from licenta_crawler_ray.pipelines.crawl_queries import crawl_visited
+
+    return crawl_visited("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from licenta_crawler_ray.pipelines import crawl_queries as cq
+    from licenta_crawler_ray.pipelines import relational as rel
+    from licenta_crawler_ray.pipelines import similarity as sim
+    from licenta_crawler_ray.pipelines import textops as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine (SURVEY §2.1-§2.5; rows-only — oracle is tests/oracle parity)
+        "crawl_visited": cq.crawl_visited,
+        "crawl_visited_record_only": cq.crawl_visited_record_only,
+        "crawl_url_seen": cq.crawl_url_seen,
+        "crawl_lineage": cq.crawl_lineage,
+        "crawl_extracted_text": cq.crawl_extracted_text,
+        # --- relational operator coverage (SQL-checked)
+        "pricing_summary": rel.pricing_summary,
+        "top_customers": rel.top_customers,
+        "supplier_stats": rel.supplier_stats,
+        "events_hourly": rel.events_hourly,
+        "part_brand_stats": rel.part_brand_stats,
+        "order_priority_count": rel.order_priority_count,
+        "distinct_segments": rel.distinct_segments,
+        # --- text analysis (SQL-checked)
+        "lang_hist": tx.lang_hist,
+        "lang_id": tx.lang_id,
+        "token_counts": tx.token_counts,
+        "quality_scores": tx.quality_scores,
+        # --- dedup family
+        "exact_dedup": tx.exact_dedup,                      # SQL-checked
+        "ngram_jaccard_pairs": tx.ngram_jaccard_pairs,      # SQL-checked (exact)
+        "minhash_lsh_pairs": tx.minhash_lsh_pairs,          # approx; rows-only
+        "simhash_pairs": tx.simhash_pairs,                  # approx; rows-only
+        "doc_fingerprints": tx.doc_fingerprints,            # rows-only
+        # --- similarity search
+        "embedding_knn": sim.embedding_knn,                 # SQL-checked
+        "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked
+        "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers": """
+            SELECT o_custkey AS c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "supplier_stats": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n,
+                   round(sum(p_retailprice) / count(*), 2) AS avg_retail,
+                   max(p_size) AS max_size
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
+        "order_priority_count": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1
+        """,
+        "lang_hist": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "lang_id": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b')) AS en,
+                len(regexp_extract_all(lower(text), '\b(?:el|la|de|los|y)\b')) AS es,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|des)\b')) AS fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                   WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                   WHEN es >= de AND es >= fr THEN 'es'
+                   WHEN de >= fr THEN 'de'
+                   ELSE 'fr' END AS pred_lang
+            FROM s ORDER BY doc_id
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\S+')) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+              length(text) AS n_chars,
+              len(regexp_extract_all(text, '\S+')) AS n_words,
+              len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+              len(regexp_extract_all(lower(text), '\b(?:the|a|and|of|to|in)\b')) AS n_stopwords
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH w AS (
+              SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ws
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+                  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+            ORDER BY 1, 2
+        """,
+        "embedding_knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.embedding, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.vec_id != q.query_id),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY 1, 2
+        """,
+    }

@@ -1,0 +1,159 @@
+"""Benchmark entry point (driver contract + BASELINE.md scaling protocol).
+
+Prints ONE JSON line:
+  {"metric": "crawl_pages_per_sec", "value": <headline crawl seconds>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages_fetched": ..., "pages_per_sec": ...}
+
+- input tables: ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+- session: ``ray.init(address="local", num_cpus=int($RAY_GRAFT_CPUS or 32))``
+- ``--scaling``: run the headline crawl twice in fresh subprocesses at
+  num_cpus=8 and num_cpus=32 on the SAME fixture and report both
+  throughputs + scaling efficiency = (t_8 / t_32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FIXTURE = "/tmp/lcr_fixture_bench"
+
+# per-query timing set: the SQL-checked operator suite + the approximate
+# scale-path variants (crawl_* are folded into the headline, not repeated)
+QUERY_NAMES = [
+    "pricing_summary", "top_customers", "supplier_stats", "events_hourly",
+    "part_brand_stats", "order_priority_count", "distinct_segments",
+    "lang_hist", "lang_id", "token_counts", "quality_scores",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_pairs", "doc_fingerprints", "embedding_knn",
+    "embedding_neardup_pairs", "embedding_knn_ivf",
+]
+
+
+def ensure_bench_fixture() -> str:
+    from licenta_crawler_ray.fixtures.gen import BENCH, ensure_fixture
+
+    ensure_fixture(BENCH_FIXTURE, **BENCH)
+    return BENCH_FIXTURE
+
+
+def run_headline_crawl(num_cpus: int) -> dict:
+    """Full crawl (fetch+extract every page) over the bench fixture."""
+    from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
+
+    fixture = ensure_bench_fixture()
+    workdir = f"/tmp/lcr_bench_job_{num_cpus}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    pipe = CrawlPipeline(
+        fixture,
+        workdir,
+        fetch_leaves=True,
+        host_budget=256,
+        fetch_concurrency=max(2, num_cpus - 2),
+        num_seen_shards=8,
+    )
+    # warm the OS page cache so we measure compute+shuffle, not first-read I/O
+    import pyarrow.dataset as pads
+
+    pads.dataset(os.path.join(fixture, "pages"), partitioning="hive").to_table(
+        columns=["url"]
+    )
+    t0 = time.perf_counter()
+    summary = pipe.run()
+    wall = time.perf_counter() - t0
+    fetched = sum(r["fetched"] for r in pipe.lineage)
+    pipe.close()
+    return {
+        "wall_sec": round(wall, 3),
+        "pages_fetched": int(fetched),
+        "pages_per_sec": round(fetched / wall, 1),
+        "waves": summary["waves"],
+        "visited_rows": summary["visited_rows"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # force execution for lazy results
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res = res.to_pandas()
+        except ImportError:
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    crawl = run_headline_crawl(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    result = {
+        "metric": "crawl_pages_per_sec",
+        "value": crawl["wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **crawl,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Two fresh processes at 8 and 32 CPUs on the same input."""
+    # generate the fixture once up front so neither run pays generation
+    ensure_bench_fixture()
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_headline.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "sec_8": t8, "sec_32": t32,
+        "pages_per_sec_8": results[8]["pages_per_sec"],
+        "pages_per_sec_32": results[32]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pages_fetched": results[32]["pages_fetched"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -301,7 +301,9 @@ def ensure_fixture(out_dir: str, **kwargs) -> dict:
 
 TINY = dict(num_hosts=4, shelves_per_host=5, products_per_shelf=10)
 SMALL = dict(num_hosts=20, shelves_per_host=8, products_per_shelf=12)
-BENCH = dict(num_hosts=96, shelves_per_host=16, products_per_shelf=25)
+# bench corpus uses more host buckets than any pool size so bucket-affinity
+# routing in the wave loop can use the whole pool (parallelism ≤ #buckets)
+BENCH = dict(num_hosts=96, shelves_per_host=16, products_per_shelf=25, num_buckets=64)
 
 if __name__ == "__main__":
     import sys

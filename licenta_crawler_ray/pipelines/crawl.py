@@ -170,15 +170,12 @@ class CrawlPipeline:
         t0 = time.perf_counter()
         fdf = frontier.to_pandas()
 
-        # politeness: per-host budget, lowest priority first (deterministic)
-        sel_parts = []
-        rest_parts = []
-        for _, g in fdf.groupby("host", sort=True):
-            g = g.sort_values(["priority", "url"], kind="mergesort")
-            sel_parts.append(g.iloc[: self.host_budget])
-            rest_parts.append(g.iloc[self.host_budget:])
-        selected = pd.concat(sel_parts) if sel_parts else fdf.iloc[:0]
-        leftovers = pd.concat(rest_parts) if rest_parts else fdf.iloc[:0]
+        # politeness: per-host budget, lowest priority first (deterministic;
+        # single global sort + per-host cumcount — no per-host Python loop)
+        fdf = fdf.sort_values(["priority", "url"], kind="mergesort")
+        within_budget = fdf.groupby("host", sort=False).cumcount() < self.host_budget
+        selected = fdf[within_budget]
+        leftovers = fdf[~within_budget]
 
         if len(selected) == 0:
             return frontier.slice(0, 0), pa.Table.from_pylist([], schema=OUT_SCHEMA), {}
@@ -186,14 +183,22 @@ class CrawlPipeline:
         sel_t = add_host_bucket(
             pa.Table.from_pandas(selected, preserve_index=False), self.num_buckets
         )
-        # order by host_bucket so each fetch probe touches one corpus
-        # partition, then split into blocks on bucket boundaries so the
-        # actor pool actually parallelizes (from_arrow of one table = 1 block)
-        order = np.lexsort((selected["priority"].to_numpy(), sel_t.column("host_bucket").to_numpy()))
+        # group rows by host_bucket → one block per bucket (split further when
+        # large), so each probe touches one corpus partition and the pool can
+        # route block b to actor b % pool (bucket-affinity → warm caches)
+        bucket_np = sel_t.column("host_bucket").to_numpy()
+        order = np.lexsort((selected["priority"].to_numpy(), bucket_np))
         sel_t = sel_t.take(pa.array(order))
-        n_blocks = max(1, min(self._pool_size() * 2, sel_t.num_rows))
-        chunk = (sel_t.num_rows + n_blocks - 1) // n_blocks
-        blocks = [sel_t.slice(i * chunk, chunk) for i in range(n_blocks) if i * chunk < sel_t.num_rows]
+        bucket_np = bucket_np[order]
+        blocks: list[pa.Table] = []
+        block_buckets: list[int] = []
+        max_rows = max(self.fetch_batch_size, 1)
+        start = 0
+        for i in range(1, sel_t.num_rows + 1):
+            if i == sel_t.num_rows or bucket_np[i] != bucket_np[start] or i - start >= max_rows:
+                blocks.append(sel_t.slice(start, i - start))
+                block_buckets.append(int(bucket_np[start]))
+                start = i
         if self.engine != "pool":
             ds = rd.from_arrow(blocks)
             processed = ds.map_batches(
@@ -234,10 +239,13 @@ class CrawlPipeline:
             import pyarrow.compute as pc
 
             if self.engine == "pool":
-                # persistent actor pool: round-robin the wave's Arrow chunks
+                # persistent actor pool with bucket affinity: bucket b always
+                # goes to actor b % pool, so each actor's corpus-partition
+                # cache stays warm across waves (one cold read per bucket per
+                # job, not per wave)
                 refs = [
-                    self.pool[i % len(self.pool)].process.remote(b)
-                    for i, b in enumerate(blocks)
+                    self.pool[bb % len(self.pool)].process.remote(b)
+                    for b, bb in zip(blocks, block_buckets)
                 ]
                 out_t = pa.concat_tables(ray.get(refs)).combine_chunks()
             else:

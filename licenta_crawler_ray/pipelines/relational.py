@@ -6,16 +6,21 @@ filters, sort/top-k, distinct, windowed/bucketed aggregation — SURVEY §2.4,
 §2.5) on the driver-provided TPC-H-ish tables, each with an exact DuckDB
 oracle (see ``__ray_entry__.oracle_sql``).
 
-Scale patterns demonstrated:
-- every ``groupby`` is preceded by a per-batch partial aggregate inside
-  ``map_batches`` (combiner), so the all-to-all only moves one row per
-  (batch, key) — the 100 TB-safe shape;
-- small sides (customer, nation, region) are broadcast with ``ray.put``
-  and probed per batch — never a shuffle join;
+Scale patterns demonstrated (and measured — see git history of BENCH):
+- **low-cardinality keys** (returnflag, brand, lang, hour buckets): a
+  per-batch partial aggregate inside ``map_batches`` (combiner) so the
+  all-to-all moves one row per (batch, key) — the 100 TB-safe shape;
+- **high-cardinality keys** (custkey): direct ``groupby().aggregate`` —
+  a combiner would shrink nothing and just adds a pass;
+- **blocks stay Arrow end-to-end**: pandas-formatted blocks make Ray's
+  aggregate shuffle ~8× slower (measured 40s vs 5s on 150k rows), so every
+  partial-aggregate stage emits ``pyarrow.Table``;
+- small sides (customer, nation, region) are broadcast (``ray.put``) and
+  probed per batch — never a shuffle join;
 - reads prune columns at the source (``read_parquet(columns=...)``).
 
-All aggregate outputs are rounded where fractional so the value-hash
-comparison against DuckDB is stable across summation orders.
+All fractional aggregates are rounded so the value-hash comparison against
+DuckDB is stable across summation orders.
 """
 
 from __future__ import annotations
@@ -25,54 +30,39 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Sum
+
+_PARTIAL_BATCH = 65536  # large partial-agg batches → fewer shuffle rows
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
-def _partial_group_sum(keys: list[str], sums: dict[str, str], counts: str | None = None):
-    """Per-batch combiner: pandas groupby → one partial row per key-combo.
-
-    ``sums`` maps output column → input column. Returns a map_batches fn.
-    """
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        agg = {out: (src, "sum") for out, src in sums.items()}
-        if counts:
-            agg[counts] = (keys[0], "size")
-        return df.groupby(keys, as_index=False, sort=False).agg(**agg)
-
-    return fn
-
-
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-flavored pricing summary (partial-aggregate → small groupby)."""
+    """TPC-H Q1-flavored pricing summary (Arrow partial-agg → 6-key groupby)."""
     ds = _pq(sf_dir, "lineitem",
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount"])
 
-    def add_disc(df: pd.DataFrame) -> pd.DataFrame:
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return df
-
-    partial = (
-        ds.map_batches(add_disc, batch_format="pandas")
-        .map_batches(
-            _partial_group_sum(
-                ["l_returnflag", "l_linestatus"],
-                {"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice",
-                 "sum_disc_price": "disc_price"},
-                counts="count_order",
-            ),
-            batch_format="pandas",
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
         )
-    )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
+
     out = (
-        partial.groupby(["l_returnflag", "l_linestatus"])
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_price", alias_name="sum_base_price"),
@@ -92,23 +82,20 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Revenue top-k: broadcast customer (small side) into an orders scan."""
-    partial = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
-        .map_batches(
-            _partial_group_sum(["o_custkey"], {"revenue": "o_totalprice"},
-                               counts="n_orders"),
-            batch_format="pandas",
+    """Revenue top-k per customer: high-cardinality key → direct groupby;
+    the tiny top-k result probes the broadcast-sized customer dim driver-side."""
+    agg = (
+        _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            rd.aggregate.Count("o_totalprice", alias_name="n_orders"),
         )
-    out = (
-        partial.groupby("o_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"),
-                   Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
-    out["n_orders"] = out["n_orders"].astype("int64")
-    out = out.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(k)
-    # top-k result is tiny → the dimension probe happens driver-side
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    out = agg.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(k)
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     out = out.rename(columns={"o_custkey": "c_custkey"}).merge(cust, on="c_custkey")
     return out.reset_index(drop=True)[["c_custkey", "c_name", "revenue", "n_orders"]]
@@ -123,17 +110,23 @@ def supplier_stats(sf_dir: str) -> pd.DataFrame:
 
     class Tag:
         def __init__(self):
-            self.r_of_n = ray.get(lookup_ref)
+            self.r_of_n = ray.get(lookup_ref)  # once per actor
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["r_name"] = df["s_nationkey"].map(self.r_of_n)
-            return df.groupby("r_name", as_index=False, sort=False).agg(
-                n_suppliers=("s_suppkey", "size"), total_acctbal=("s_acctbal", "sum")
+        def __call__(self, t: pa.Table) -> pa.Table:
+            r_name = pa.array(
+                [self.r_of_n.get(k) for k in t["s_nationkey"].to_pylist()],
+                type=pa.string(),
             )
+            t = t.append_column("r_name", r_name)
+            g = t.group_by("r_name").aggregate(
+                [("s_suppkey", "count"), ("s_acctbal", "sum")]
+            )
+            return g.rename_columns(["r_name", "n_suppliers", "total_acctbal"])
 
     out = (
         _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
-        .map_batches(Tag, batch_format="pandas", concurrency=2)
+        .map_batches(Tag, batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+                     concurrency=2)
         .groupby("r_name")
         .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
                    Sum("total_acctbal", alias_name="total_acctbal"))
@@ -146,17 +139,19 @@ def supplier_stats(sf_dir: str) -> pd.DataFrame:
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (bucketed aggregate — the
-    batch-engine form of a streaming window, SURVEY guide 'streaming-shaped')."""
+    batch-engine form of a streaming window)."""
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["hour"] = df["ts"].dt.floor("h")
-        return df.groupby(["event_type", "hour"], as_index=False, sort=False).agg(
-            n=("event_id", "size"), sum_value=("value", "sum")
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        t = t.append_column("hour", hour)
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("event_id", "count"), ("value", "sum")]
         )
+        return g.rename_columns(["event_type", "hour", "n", "sum_value"])
 
     out = (
         _pq(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
-        .map_batches(bucket, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
         .groupby(["event_type", "hour"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
@@ -167,14 +162,15 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("p_size", "count"), ("p_retailprice", "sum"), ("p_size", "max")]
+        )
+        return g.rename_columns(["p_brand", "n", "sum_retail", "max_size"])
+
     out = (
         _pq(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
-        .map_batches(
-            lambda df: df.groupby("p_brand", as_index=False, sort=False).agg(
-                n=("p_size", "size"), sum_retail=("p_retailprice", "sum"),
-                max_size=("p_size", "max")),
-            batch_format="pandas",
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
         .groupby("p_brand")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_retail", alias_name="sum_retail"),
                    Max("max_size", alias_name="max_size"))
@@ -189,10 +185,7 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def order_priority_count(sf_dir: str) -> pd.DataFrame:
-    """Filter (predicate pushdown-shaped) → count by priority."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
+    """Filter (row-group pushdown at the read) → count by priority."""
     lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
     ds = rd.read_parquet(
@@ -200,12 +193,13 @@ def order_priority_count(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderpriority", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
     )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderdate", "count")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
     out = (
-        ds.map_batches(
-            lambda df: df.groupby("o_orderpriority", as_index=False, sort=False)
-            .agg(n=("o_orderdate", "size")),
-            batch_format="pandas",
-        )
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
         .groupby("o_orderpriority")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

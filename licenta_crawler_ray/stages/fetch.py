@@ -34,35 +34,52 @@ class Fetcher:
     browser replaced by the corpus handle.
     """
 
+    # max bucket partitions cached per actor; with bucket-affinity routing
+    # (the wave loop sends bucket b to actor b % pool) each actor holds only
+    # its ~num_buckets/pool share, so the cache is effectively unbounded for
+    # its own buckets and the cap only guards against skewed routing.
+    CACHE_BUCKETS = 8
+
     def __init__(self, pages_dir: str, num_buckets: int):
         self.ds = pads.dataset(pages_dir, partitioning="hive")
         self.num_buckets = num_buckets
+        self._cache: dict[int, tuple[dict, pa.Table]] = {}  # bucket → (url→row, table)
+
+    def _bucket(self, b: int) -> tuple[dict, pa.Table]:
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        t = self.ds.to_table(
+            columns=["url", "html", "warc_ts"],
+            filter=pc.field("host_bucket") == b,
+        )
+        idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
+        if len(self._cache) >= self.CACHE_BUCKETS:
+            self._cache.pop(next(iter(self._cache)))  # FIFO eviction
+        self._cache[b] = (idx, t)
+        return idx, t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return self._empty_like(batch)
-        urls = batch.column("url")
-        buckets = pc.unique(batch.column("host_bucket"))
-        probe = self.ds.to_table(
-            columns=["url", "html", "warc_ts"],
-            filter=pc.field("host_bucket").isin(buckets) & pc.field("url").isin(urls),
-        )
-        # hash-join probe result back onto the batch (left join, misses → null)
-        idx_of = {u: i for i, u in enumerate(probe.column("url").to_pylist())}
-        html_col = probe.column("html").to_pylist()
-        ts_col = probe.column("warc_ts").to_pylist()
-        htmls, tss, errs = [], [], []
-        for u in urls.to_pylist():
-            i = idx_of.get(u)
-            if i is None:
-                htmls.append(None)
-                tss.append(None)
-                errs.append("fetch_miss")
-            else:
-                htmls.append(html_col[i])
-                tss.append(ts_col[i])
-                errs.append("")
+        urls = batch.column("url").to_pylist()
+        bucket_col = batch.column("host_bucket").to_pylist()
+        htmls: list = [None] * n
+        tss: list = [None] * n
+        errs: list = ["fetch_miss"] * n
+        for b in set(bucket_col):
+            idx, t = self._bucket(int(b))
+            html_col = t.column("html")
+            ts_col = t.column("warc_ts")
+            for i, (u, ub) in enumerate(zip(urls, bucket_col)):
+                if ub != b:
+                    continue
+                j = idx.get(u)
+                if j is not None:
+                    htmls[i] = html_col[j].as_py()
+                    tss[i] = ts_col[j].as_py()
+                    errs[i] = ""
         return batch.append_column("html", pa.array(htmls, type=pa.binary())) \
                     .append_column("retrieved_ts", pa.array(tss, type=pa.timestamp("us"))) \
                     .append_column("fetch_error", pa.array(errs, type=pa.string()))
