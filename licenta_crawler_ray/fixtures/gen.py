@@ -54,6 +54,9 @@ _AUTHORS = (
 ).split()
 
 DEFAULT_NUM_BUCKETS = 16
+# bump when generator output changes for the same params (ensure_fixture
+# compares it, so stale /tmp fixtures regenerate)
+GEN_VERSION = 2
 
 
 def host_name(i: int) -> str:
@@ -66,11 +69,11 @@ def _ts(host: str, path: str) -> datetime:
     return datetime.fromtimestamp(base + off / 1000.0, tz=timezone.utc).replace(tzinfo=None)
 
 
-def _product_html(rng: random.Random, host: str, j: int) -> bytes:
+def _product_html(rng: random.Random, host: str, j: int, desc_scale: int = 1) -> bytes:
     title = " ".join(rng.choice(_WORDS).capitalize() for _ in range(rng.randint(2, 5)))
     author = rng.choice(_AUTHORS)
     price = f"{rng.randint(10, 300)}.{rng.randint(0, 99):02d}"
-    desc = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(20, 60)))
+    desc = " ".join(rng.choices(_WORDS, k=rng.randint(20, 60) * desc_scale))
     return (
         f"<!DOCTYPE html>\n<html><head><title>{title} - {host}</title>\n"
         f"<style>.price {{ color: red; }}</style>\n"
@@ -143,6 +146,7 @@ def generate(
     miss_fraction: float = 0.04,
     private_fraction: float = 0.04,
     sitemap_every: int = 4,
+    desc_scale: int = 1,
 ) -> dict:
     """Generate the corpus; returns meta dict. Idempotent for a given seed."""
     rows: list[dict] = []
@@ -172,7 +176,7 @@ def generate(
             if j in missing:
                 continue
             prng = random.Random(f"{seed}:{host}:product:{j}")
-            html = _product_html(prng, host, j)
+            html = _product_html(prng, host, j, desc_scale)
             path = product_path(j)
             rows.append(
                 {
@@ -274,6 +278,7 @@ def generate(
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots, f, indent=1)
     meta = {
+        "gen_version": GEN_VERSION,
         "seed": seed,
         "num_hosts": num_hosts,
         "shelves_per_host": shelves_per_host,
@@ -281,6 +286,7 @@ def generate(
         "num_buckets": num_buckets,
         "rows": len(rows),
         "sitemap_every": sitemap_every,
+        "desc_scale": desc_scale,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -290,7 +296,7 @@ def generate(
 def ensure_fixture(out_dir: str, **kwargs) -> dict:
     """Generate only if absent (same seed → same bytes, so presence = done)."""
     meta_path = os.path.join(out_dir, "meta.json")
-    want = dict(kwargs)
+    want = dict(kwargs, gen_version=GEN_VERSION)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             have = json.load(f)
@@ -301,9 +307,12 @@ def ensure_fixture(out_dir: str, **kwargs) -> dict:
 
 TINY = dict(num_hosts=4, shelves_per_host=5, products_per_shelf=10)
 SMALL = dict(num_hosts=20, shelves_per_host=8, products_per_shelf=12)
-# bench corpus uses more host buckets than any pool size so bucket-affinity
-# routing in the wave loop can use the whole pool (parallelism ≤ #buckets)
-BENCH = dict(num_hosts=96, shelves_per_host=16, products_per_shelf=25, num_buckets=64)
+# bench corpus: more host buckets than any pool size so bucket-affinity
+# routing can use the whole pool (parallelism ≤ #buckets); short chains
+# (few waves → less fixed per-wave cost) with wide shelves and heavy pages
+# so per-wave compute dominates scheduling overhead at both CPU levels
+BENCH = dict(num_hosts=384, shelves_per_host=4, products_per_shelf=60,
+             num_buckets=64, desc_scale=32)
 
 if __name__ == "__main__":
     import sys

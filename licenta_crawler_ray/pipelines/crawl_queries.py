@@ -60,7 +60,9 @@ def crawl_url_seen(sf_dir: str) -> pd.DataFrame:
 def crawl_lineage(sf_dir: str) -> pd.DataFrame:
     """Per-wave lineage/metrics rows (checkpoint audit surface)."""
     pipe = _run(sf_dir, "lineage", fetch_leaves=True)
-    return pd.DataFrame(pipe.lineage).drop(columns=["wall_sec", "job_id"])
+    return pd.DataFrame(pipe.lineage).drop(
+        columns=["wall_sec", "gather_sec", "seen_sec", "blocks", "job_id"]
+    )
 
 
 def crawl_extracted_text(sf_dir: str) -> pa.Table:

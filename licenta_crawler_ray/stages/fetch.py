@@ -38,7 +38,7 @@ class Fetcher:
     # (the wave loop sends bucket b to actor b % pool) each actor holds only
     # its ~num_buckets/pool share, so the cache is effectively unbounded for
     # its own buckets and the cap only guards against skewed routing.
-    CACHE_BUCKETS = 8
+    CACHE_BUCKETS = 16
 
     def __init__(self, pages_dir: str, num_buckets: int):
         self.ds = pads.dataset(pages_dir, partitioning="hive")
@@ -59,16 +59,39 @@ class Fetcher:
         self._cache[b] = (idx, t)
         return idx, t
 
+    def prefetch(self, buckets: list[int]) -> int:
+        """Load + index the given bucket partitions (bucket-affinity warmup)."""
+        self.CACHE_BUCKETS = max(self.CACHE_BUCKETS, len(buckets) + 2)
+        for b in buckets:
+            self._bucket(int(b))
+        return len(self._cache)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return self._empty_like(batch)
         urls = batch.column("url").to_pylist()
         bucket_col = batch.column("host_bucket").to_pylist()
+        distinct = sorted(set(bucket_col))
+        if len(distinct) == 1:
+            # hot path (blocks are single-bucket by construction): zero-copy
+            # null-aware take — html bytes never pass through Python objects
+            idx, t = self._bucket(int(distinct[0]))
+            indices = pa.array([idx.get(u) for u in urls], type=pa.int64())
+            html = t.column("html").take(indices).combine_chunks()
+            ts = t.column("warc_ts").take(indices).combine_chunks()
+            errs = pa.array(
+                ["" if j is not None else "fetch_miss" for j in indices.to_pylist()],
+                type=pa.string(),
+            )
+            return batch.append_column("html", html) \
+                        .append_column("retrieved_ts", ts) \
+                        .append_column("fetch_error", errs)
+        # general path: probe per bucket (ray_data engine batches may span)
         htmls: list = [None] * n
         tss: list = [None] * n
-        errs: list = ["fetch_miss"] * n
-        for b in set(bucket_col):
+        errs_l: list = ["fetch_miss"] * n
+        for b in distinct:
             idx, t = self._bucket(int(b))
             html_col = t.column("html")
             ts_col = t.column("warc_ts")
@@ -79,10 +102,10 @@ class Fetcher:
                 if j is not None:
                     htmls[i] = html_col[j].as_py()
                     tss[i] = ts_col[j].as_py()
-                    errs[i] = ""
+                    errs_l[i] = ""
         return batch.append_column("html", pa.array(htmls, type=pa.binary())) \
                     .append_column("retrieved_ts", pa.array(tss, type=pa.timestamp("us"))) \
-                    .append_column("fetch_error", pa.array(errs, type=pa.string()))
+                    .append_column("fetch_error", pa.array(errs_l, type=pa.string()))
 
     @staticmethod
     def _empty_like(batch: pa.Table) -> pa.Table:

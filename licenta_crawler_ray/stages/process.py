@@ -61,13 +61,104 @@ class ProcessPage:
     compute; written as a class so the robots ref resolves once per worker.
     """
 
-    def __init__(self, rules_ref, fetch_leaves: bool):
+    def __init__(self, rules_ref, fetch_leaves: bool, enrich: bool = False):
         self.rules: RobotRules = (
             ray.get(rules_ref) if not isinstance(rules_ref, RobotRules) else rules_ref
         )
         self.fetch_leaves = fetch_leaves
+        self.enrich = enrich
+        if enrich:
+            from ..functions.enrich import TextEnricher
+
+            self.enricher = TextEnricher()
+
+    def _append_enrichment(self, out: pa.Table) -> pa.Table:
+        """Annotate fetched visited rows with ingest-time analysis columns
+        (token/quality counts, lang-id, simhash, fingerprint); null for
+        candidates and unfetched records."""
+        import pyarrow.compute as pc
+
+        from ..functions.enrich import ENRICH_FIELDS, null_enrichment
+
+        n = out.num_rows
+        mask = pc.and_(pc.equal(out.column("kind"), "visited"), out.column("fetched"))
+        mask_np = mask.to_numpy(zero_copy_only=False).astype(bool)
+        idx = np.nonzero(mask_np)[0]
+        cols = null_enrichment(n)
+        if len(idx):
+            texts = out.column("text").take(pa.array(idx)).to_pylist()
+            enr = self.enricher.enrich(texts)
+            for name, typ in ENRICH_FIELDS:
+                src = enr[name]
+                if len(idx) == n:
+                    cols[name] = src  # whole batch enriched — no scatter
+                elif pa.types.is_integer(typ):
+                    vals = np.zeros(n, dtype=np.int64)
+                    vals[idx] = src.to_numpy()
+                    cols[name] = pa.array(vals, mask=~mask_np)
+                else:
+                    strs = np.empty(n, dtype=object)
+                    strs[idx] = src.to_pylist()
+                    cols[name] = pa.array(strs, type=typ)
+        for name, _ in ENRICH_FIELDS:
+            out = out.append_column(name, cols[name])
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # fast path: leaf-product rows (the bulk of a crawl) need only
+        # text extraction — no link/pagination/sitemap parsing and no
+        # per-row emit bookkeeping; assemble their output table directly
+        # from arrays and run the row loop only for shelves/sitemaps
+        is_product = pc.equal(batch.column("page_type"), "product")
+        products = batch.filter(is_product)
+        rest = batch.filter(pc.invert(is_product))
+        parts = []
+        if products.num_rows:
+            parts.append(self._products_table(products))
+        if rest.num_rows:
+            parts.append(self._rows_table(rest))
+        if not parts:
+            out = pa.Table.from_pylist([], schema=OUT_SCHEMA)
+        else:
+            out = pa.concat_tables(parts)
+        if self.enrich:
+            out = self._append_enrichment(out)
+        return out
+
+    def _products_table(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        htmls = batch.column("html").to_pylist()
+        miss = [bool(e) for e in batch.column("fetch_error").to_pylist()]
+        texts = pa.array(
+            ["" if (m or h is None) else extract_text(h) for m, h in zip(miss, htmls)],
+            type=pa.string(),
+        )
+        fetched = pa.array([not m for m in miss])
+        errors = pa.array(["fetch_miss" if m else "" for m in miss], type=pa.string())
+        ts = pa.compute.if_else(
+            pa.array(miss), pa.nulls(n, pa.timestamp("us")), batch.column("retrieved_ts")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["visited"] * n, type=pa.string()),
+                "url": batch.column("url"),
+                "host": batch.column("host"),
+                "referer": batch.column("referer"),
+                "page_type": batch.column("page_type"),
+                "seed_idx": batch.column("seed_idx"),
+                "depth": batch.column("depth"),
+                "doc_order": batch.column("doc_order"),
+                "priority": batch.column("priority"),
+                "fetched": fetched,
+                "error": errors,
+                "text": texts,
+                "retrieved_ts": ts,
+            }
+        ).cast(OUT_SCHEMA)
+
+    def _rows_table(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {n: [] for n, _ in _OUT_FIELDS}
 
         def emit(kind, url, host, referer, page_type, seed_idx, depth, doc_order,

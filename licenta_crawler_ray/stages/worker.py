@@ -20,9 +20,10 @@ from .process import ProcessPage
 class FetchProcess:
     """Actor-pool callable: frontier batch → combined visited/candidate table."""
 
-    def __init__(self, pages_dir: str, num_buckets: int, rules_ref, fetch_leaves: bool):
+    def __init__(self, pages_dir: str, num_buckets: int, rules_ref, fetch_leaves: bool,
+                 enrich: bool = False):
         self.fetcher = Fetcher(pages_dir, num_buckets)
-        self.processor = ProcessPage(rules_ref, fetch_leaves)
+        self.processor = ProcessPage(rules_ref, fetch_leaves, enrich)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.processor(self.fetcher(batch))
@@ -45,8 +46,44 @@ class CrawlWorker:
     via ``CrawlPipeline(use_ray_data_stages=True)`` and is parity-tested.
     """
 
-    def __init__(self, pages_dir: str, num_buckets: int, rules_ref, fetch_leaves: bool):
-        self.inner = FetchProcess(pages_dir, num_buckets, rules_ref, fetch_leaves)
+    def __init__(self, pages_dir: str, num_buckets: int, rules_ref, fetch_leaves: bool,
+                 enrich: bool = False):
+        self.inner = FetchProcess(pages_dir, num_buckets, rules_ref, fetch_leaves, enrich)
+        self.busy_sec = 0.0  # cumulative wall time inside process calls
 
     def process(self, batch: pa.Table) -> pa.Table:
         return self.inner(batch)
+
+    def stats(self) -> float:
+        return self.busy_sec
+
+    def prefetch(self, buckets: list[int]) -> int:
+        """Warm this worker's owned corpus partitions (bucket affinity)."""
+        return self.inner.fetcher.prefetch(buckets)
+
+    def process_and_write(self, batch: pa.Table, visited_path: str) -> tuple[pa.Table, int]:
+        """Fetch+process one frontier block; write its visited rows (the
+        text-heavy side) straight to a parquet part under the wave's
+        checkpoint dir and return ONLY the small candidate table + count.
+
+        Extracted text never crosses the object store to the driver — at
+        100 TB the record stream is written where it is produced (partitioned
+        output, one part per block, atomically committed by the wave rename).
+        """
+        import time as _time
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        _t0 = _time.perf_counter()
+        out = self.inner(batch)
+        kind = out.column("kind")
+        visited = out.filter(pc.equal(kind, "visited")).drop_columns(["kind"])
+        candidates = out.filter(pc.equal(kind, "candidate")).select(
+            ["url", "host", "referer", "page_type", "seed_idx", "depth",
+             "doc_order", "priority"]
+        )
+        if visited.num_rows:
+            pq.write_table(visited, visited_path)
+        self.busy_sec += _time.perf_counter() - _t0
+        return candidates, visited.num_rows

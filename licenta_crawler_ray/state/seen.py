@@ -232,13 +232,21 @@ class SeenSet:
         return int(sum(ray.get([s.count.remote() for s in self.shards])))
 
     def snapshot(self, dir_path: str) -> None:
+        ray.get(self.snapshot_async(dir_path))
+
+    def snapshot_async(self, dir_path: str) -> list:
+        """Fire shard snapshots WITHOUT blocking; returns refs to gather later.
+
+        Correctness under async commit: each shard actor processes messages
+        from this driver in submission order, so a snapshot fired before the
+        next wave's ``contains_and_add`` calls captures exactly the
+        pre-next-wave state even though the driver doesn't wait.
+        """
         os.makedirs(dir_path, exist_ok=True)
-        ray.get(
-            [
-                s.snapshot.remote(os.path.join(dir_path, f"shard-{i}.npz"))
-                for i, s in enumerate(self.shards)
-            ]
-        )
+        return [
+            s.snapshot.remote(os.path.join(dir_path, f"shard-{i}.npz"))
+            for i, s in enumerate(self.shards)
+        ]
 
     def restore(self, dir_path: str) -> None:
         ray.get(
