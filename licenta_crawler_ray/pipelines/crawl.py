@@ -128,7 +128,7 @@ class CrawlPipeline:
         self.fetch_batch_size = fetch_batch_size
         self.checkpoint = checkpoint
         self.enrich = enrich
-        assert engine in ("pool", "ray_data", "ray_data_distributed")
+        assert engine in ("pool", "bucket", "ray_data", "ray_data_distributed")
         self.engine = engine
         self.robots = load_robots(fixture_dir)
         self.robots_ref = None  # ray.put once at run() start (broadcast small side)
@@ -426,6 +426,7 @@ class CrawlPipeline:
             for f in glob.glob(os.path.join(d, "*.parquet")):
                 n += pq.read_metadata(f).num_rows
             counts[b] = n
+        self._bucket_counts = counts
         load = [0.0] * P
         owners: dict[int, tuple[int, ...]] = {}
         for b in sorted(counts, key=lambda b: (-counts[b], b)):
@@ -440,6 +441,68 @@ class CrawlPipeline:
         self._owners = owners
         return owners
 
+    # -- bucket engine (zero-global-barrier; see stages/bucket_crawl.py) -----
+    def _run_buckets(self, resume: bool) -> dict:
+        """Factorize the crawl into independent per-bucket sub-crawls.
+
+        Same-host scoping makes URL space bucket-local, so each bucket's
+        crawl (politeness, dedup, ordering) runs entirely inside one actor
+        call with no coordination; the driver only seeds, LPT-assigns
+        buckets to the pool by corpus size, and gathers summaries. Commit =
+        atomic per-bucket dir rename → a killed run resumes by skipping
+        committed buckets (per-partition lineage, north_rule).
+        """
+        frontier, seen0 = seed_frontier(self.fixture_dir, self.robots)
+        frontier = add_host_bucket(frontier, self.num_buckets)
+        buckets_np = frontier.column("host_bucket").to_numpy()
+        seeds_by_bucket: dict[int, list[str]] = {}
+        from ..functions.urls import fnv1a64, host_of_url as _h
+
+        for u in seen0:
+            b = fnv1a64(_h(u)) % self.num_buckets
+            seeds_by_bucket.setdefault(int(b), []).append(u)
+
+        done = set()
+        if resume:
+            for d in os.listdir(self.workdir) if os.path.isdir(self.workdir) else []:
+                if d.startswith("bucket-") and not d.endswith(".tmp"):
+                    done.add(int(d.split("-")[1]))
+
+        owners = self._bucket_owners()
+        counts = getattr(self, "_bucket_counts", {})
+        todo = []
+        for b in sorted(set(int(x) for x in buckets_np)):
+            if b in done:
+                continue
+            sub = frontier.filter(pa.compute.equal(frontier.column("host_bucket"), b))
+            todo.append((b, sub))
+        # LPT by corpus size over each bucket's warm owners
+        todo.sort(key=lambda t: -counts.get(t[0], t[1].num_rows))
+        load = [0.0] * len(self.pool)
+        refs = []
+        for b, sub in todo:
+            a = min(owners[b], key=lambda x: load[x])
+            load[a] += counts.get(b, sub.num_rows)
+            refs.append(self.pool[a].crawl_bucket.remote(
+                b, sub, seeds_by_bucket.get(b, []),
+                os.path.join(self.workdir, f"bucket-{b:04d}"),
+                self.host_budget, self.fetch_leaves,
+            ))
+        summaries = ray.get(refs)
+        self.lineage = [
+            {"job_id": os.path.basename(self.workdir.rstrip("/")), **s}
+            for s in summaries
+        ]
+        recorded = sum(s["recorded"] for s in summaries)
+        return {
+            "waves": max((s["waves"] for s in summaries), default=0),
+            "visited_rows": recorded,
+            "seen_count": sum(s["seen_count"] for s in summaries),
+            "buckets": len(summaries),
+            "buckets_skipped": len(done),
+            "workdir": self.workdir,
+        }
+
     def _ensure_actors(self) -> None:
         """Validate jobs, then create the worker pool + seen shards (once).
 
@@ -451,7 +514,7 @@ class CrawlPipeline:
             admit_job(job)
         if self.robots_ref is None:
             self.robots_ref = ray.put(self.robots)
-        if self.engine == "pool" and self.pool is None:
+        if self.engine in ("pool", "bucket") and self.pool is None:
             from ..stages.worker import CrawlWorker
 
             self.pool = [
@@ -487,6 +550,8 @@ class CrawlPipeline:
         """
         os.makedirs(self.workdir, exist_ok=True)
         self._ensure_actors()
+        if self.engine == "bucket":
+            return self._run_buckets(resume)
         seen = self._seen
 
         start_wave = 0
@@ -571,6 +636,9 @@ class CrawlPipeline:
         parts = []
         for w in self._committed_waves():
             for p in sorted(glob.glob(os.path.join(self._wave_dir(w), "visited*.parquet"))):
+                parts.append(pq.read_table(p))
+        for p in sorted(glob.glob(os.path.join(self.workdir, "bucket-*", "visited*.parquet"))):
+            if ".tmp" not in p:
                 parts.append(pq.read_table(p))
         if not parts:
             return pa.Table.from_pylist([], schema=OUT_SCHEMA).drop_columns(["kind"])

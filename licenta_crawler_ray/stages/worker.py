@@ -84,6 +84,25 @@ class CrawlWorker:
              "doc_order", "priority"]
         )
         if visited.num_rows:
-            pq.write_table(visited, visited_path)
+            pq.write_table(visited, visited_path, compression="zstd")
         self.busy_sec += _time.perf_counter() - _t0
         return candidates, visited.num_rows
+
+    def crawl_bucket(self, bucket_id: int, frontier: pa.Table,
+                     seed_urls: list[str], out_dir: str,
+                     host_budget: int, fetch_leaves: bool,
+                     seen_log2_buckets: int = 16) -> dict:
+        """Run one bucket's ENTIRE crawl locally (see stages/bucket_crawl.py):
+        zero global coordination — the scalable engine mode."""
+        import time as _time
+
+        from .bucket_crawl import crawl_bucket_local
+
+        _t0 = _time.perf_counter()
+        out = crawl_bucket_local(
+            self.inner, bucket_id, frontier, seed_urls, out_dir,
+            host_budget=host_budget, fetch_leaves=fetch_leaves,
+            seen_log2_buckets=seen_log2_buckets,
+        )
+        self.busy_sec += _time.perf_counter() - _t0
+        return out

@@ -57,3 +57,30 @@ def test_resume_noop_when_complete(tiny_fixture, tmp_path):
     n2 = p2.visited_table().num_rows
     p2.close()
     assert n2 == n1
+
+
+def test_bucket_engine_matches_pool(tiny_fixture, tmp_path):
+    a = _visited(tiny_fixture, str(tmp_path / "pool"), engine="pool")
+    d = _visited(tiny_fixture, str(tmp_path / "bk"), engine="bucket")
+    assert a.to_pylist() == d.to_pylist()
+
+
+def test_bucket_engine_resume_skips_committed(small_fixture, tmp_path):
+    import shutil
+    import os
+
+    wd = str(tmp_path / "bkr")
+    p1 = CrawlPipeline(small_fixture, wd, fetch_leaves=True, engine="bucket")
+    p1.run()
+    full = p1.visited_table()
+    p1.close()
+    # simulate a killed run: two bucket partitions never committed
+    victims = sorted(d for d in os.listdir(wd) if d.startswith("bucket-"))[:2]
+    for v in victims:
+        shutil.rmtree(os.path.join(wd, v))
+    p2 = CrawlPipeline(small_fixture, wd, fetch_leaves=True, engine="bucket")
+    s = p2.run(resume=True)
+    got = p2.visited_table()
+    p2.close()
+    assert s["buckets"] == len(victims)  # only the missing partitions re-ran
+    assert got.to_pylist() == full.to_pylist()
