@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": rel.top_customers,
         "supplier_stats": rel.supplier_stats,
         "events_hourly": rel.events_hourly,
+        "user_sessions": rel.user_sessions,
+        "top_events_per_user": rel.top_events_per_user,
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
@@ -95,6 +97,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id,
+                   count(*) FILTER (WHERE prev IS NULL
+                                    OR ts - prev > INTERVAL 30 MINUTE) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "top_events_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events)
+            SELECT user_id, event_id, rank FROM r WHERE rank <= 3
+            ORDER BY user_id, rank
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n,

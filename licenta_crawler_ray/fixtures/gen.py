@@ -56,7 +56,7 @@ _AUTHORS = (
 DEFAULT_NUM_BUCKETS = 16
 # bump when generator output changes for the same params (ensure_fixture
 # compares it, so stale /tmp fixtures regenerate)
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
 def host_name(i: int) -> str:
@@ -152,6 +152,7 @@ def generate(
     rows: list[dict] = []
     jobs: list[dict] = []
     robots: dict[str, dict] = {}
+    redirects: dict[str, str] = {}
 
     for hi in range(num_hosts):
         host = host_name(hi)
@@ -212,10 +213,17 @@ def generate(
 
         # --- robots + sitemap strategy for every ``sitemap_every``-th host
         advertises_sitemap = sitemap_every > 0 and hi % sitemap_every == sitemap_every - 1
+        # robots advertises /sitemap.xml which 30x-redirects (2 hops) to the
+        # real index — exercising the redirect chase of the sitemap fetcher
+        # (manual ≤5-hop loop, SitemapSaxCrawler.java:96-128)
         robots[host] = {
             "disallow": ["/private/"],
-            "sitemaps": [f"{base}/sitemap-index.xml"] if advertises_sitemap else [],
+            "sitemaps": [f"{base}/sitemap.xml"] if advertises_sitemap else [],
         }
+        if advertises_sitemap:
+            redirects[f"{base}/sitemap.xml"] = f"{base}/sitemaps/index.xml"
+            redirects[f"{base}/sitemaps/index.xml"] = f"{base}/sitemap-index.xml"
+
         if advertises_sitemap:
             # gzipped child sitemaps listed by a plain index (exercises O7+O8)
             child_urls = []
@@ -277,6 +285,8 @@ def generate(
         json.dump(jobs, f, indent=1)
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots, f, indent=1)
+    with open(os.path.join(out_dir, "redirects.json"), "w") as f:
+        json.dump(redirects, f, indent=1)
     meta = {
         "gen_version": GEN_VERSION,
         "seed": seed,

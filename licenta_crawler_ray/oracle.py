@@ -105,6 +105,26 @@ def load_robots(fixture_dir: str) -> RobotRules:
         return RobotRules(json.load(f))
 
 
+def load_redirects(fixture_dir: str) -> dict[str, str]:
+    p = os.path.join(fixture_dir, "redirects.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def resolve_redirects(url: str, redirects: dict[str, str], max_hops: int = 5) -> str:
+    """≤5-hop redirect chase (``SitemapSaxCrawler.java:96-128``)."""
+    from .functions.urls import absolutize
+
+    for _ in range(max_hops):
+        nxt = redirects.get(url)
+        if nxt is None:
+            return url
+        url = absolutize(url, nxt)
+    return url
+
+
 def admit_job(job: dict) -> list[str]:
     """Validated seed list (``CrawlJobResource.java:97-100,121-139``)."""
     homepage = job["homepage"]
@@ -124,7 +144,14 @@ def crawl_oracle(
     max_depth: int = 1 << 19,
 ) -> OracleResult:
     """Serial reference crawl over every job in the fixture."""
-    pages = load_pages_map(fixture_dir)
+    pages_raw = load_pages_map(fixture_dir)
+    redirects = load_redirects(fixture_dir)
+
+    class _Pages:
+        def get(self, url):
+            return pages_raw.get(resolve_redirects(url, redirects))
+
+    pages = _Pages()
     robots = load_robots(fixture_dir)
     jobs = load_jobs(fixture_dir)
     res = OracleResult()

@@ -212,3 +212,61 @@ def distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Distinct values (shuffle) — ``Dataset.unique``."""
     vals = _pq(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
     return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization — the stream-shaped op as a batch groupby (guide
+    §streaming-shaped): events partitioned by key, sorted by ts within the
+    group, a new session when the gap exceeds ``gap_minutes``.
+
+    ``groupby(user_id).map_groups`` holds one user's (small) event history
+    per call; at scale user_id hash-partitions the shuffle and groups stay
+    bounded. Tie-break inside a group: (ts, event_id).
+    """
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["ts"].shift(1)
+        new_session = prev.isna() | ((g["ts"] - prev) > gap)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        _pq(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-key top-k (window-function shape): the k highest-value events of
+    each user, ranked. Tie-break: higher value first, then lower event_id."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "rank"]]
+
+    out = (
+        _pq(sf_dir, "events", columns=["user_id", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"user_id": "int64", "event_id": "int64", "rank": "int64"})
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )

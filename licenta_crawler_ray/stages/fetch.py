@@ -40,10 +40,36 @@ class Fetcher:
     # its own buckets and the cap only guards against skewed routing.
     CACHE_BUCKETS = 16
 
+    MAX_REDIRECTS = 5  # mirrors the reference cap (SitemapSaxCrawler.java:102)
+
     def __init__(self, pages_dir: str, num_buckets: int):
+        import json
+        import os
+
         self.ds = pads.dataset(pages_dir, partitioning="hive")
         self.num_buckets = num_buckets
         self._cache: dict[int, tuple[dict, pa.Table]] = {}  # bucket → (url→row, table)
+        # redirect map (url → url), the sandbox form of 301/302/303 chasing
+        # (``SitemapSaxCrawler.java:96-128``); same-host redirects only, so
+        # the resolved url stays in the probe's bucket
+        rpath = os.path.join(os.path.dirname(pages_dir.rstrip("/")), "redirects.json")
+        self.redirects: dict[str, str] = {}
+        if os.path.exists(rpath):
+            with open(rpath) as f:
+                self.redirects = json.load(f)
+
+    def resolve_redirects(self, url: str) -> str:
+        """Chase the redirect map ≤ MAX_REDIRECTS hops (relative targets are
+        resolved against the current url, mirroring ``new URL(url, location)``
+        at ``SitemapSaxCrawler.java:116``)."""
+        from ..functions.urls import absolutize
+
+        for _ in range(self.MAX_REDIRECTS):
+            nxt = self.redirects.get(url)
+            if nxt is None:
+                return url
+            url = absolutize(url, nxt)
+        return url
 
     def _bucket(self, b: int) -> tuple[dict, pa.Table]:
         hit = self._cache.get(b)
@@ -77,6 +103,8 @@ class Fetcher:
             # hot path (blocks are single-bucket by construction): zero-copy
             # null-aware take — html bytes never pass through Python objects
             idx, t = self._bucket(int(distinct[0]))
+            if self.redirects:
+                urls = [self.resolve_redirects(u) for u in urls]
             indices = pa.array([idx.get(u) for u in urls], type=pa.int64())
             html = t.column("html").take(indices).combine_chunks()
             ts = t.column("warc_ts").take(indices).combine_chunks()
@@ -91,6 +119,8 @@ class Fetcher:
         htmls: list = [None] * n
         tss: list = [None] * n
         errs_l: list = ["fetch_miss"] * n
+        if self.redirects:
+            urls = [self.resolve_redirects(u) for u in urls]
         for b in distinct:
             idx, t = self._bucket(int(b))
             html_col = t.column("html")
