@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "user_sessions": rel.user_sessions,
         "top_events_per_user": rel.top_events_per_user,
+        "priority_revenue": rel.priority_revenue,  # large-x-large partitioned hash join
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
@@ -118,6 +119,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, rank FROM r WHERE rank <= 3
             ORDER BY user_id, rank
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n,

@@ -29,7 +29,7 @@ BENCH_FIXTURE = "/tmp/lcr_fixture_bench"
 # scale-path variants (crawl_* are folded into the headline, not repeated)
 QUERY_NAMES = [
     "pricing_summary", "top_customers", "supplier_stats", "events_hourly",
-    "user_sessions", "top_events_per_user",
+    "user_sessions", "top_events_per_user", "priority_revenue",
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",

@@ -31,7 +31,7 @@ def entry_mod():
 
 SQL_CHECKED = [
     "pricing_summary", "top_customers", "supplier_stats", "events_hourly",
-    "user_sessions", "top_events_per_user",
+    "user_sessions", "top_events_per_user", "priority_revenue",
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",

@@ -146,3 +146,65 @@ class TestRobots:
         assert r.allowed_one("http://h.com/product/1", "h.com")
         assert not r.allowed_one("http://h.com/private/p", "h.com")
         assert r.allowed_one("http://other.com/private/p", "other.com")
+
+
+class TestProperties:
+    """Property-based checks (hypothesis) for the frozen kernels."""
+
+    def test_priority_encoding_order_preserving(self):
+        from hypothesis import given, settings, strategies as st
+
+        trip = st.tuples(st.integers(0, 2**19 - 1), st.integers(0, 2**20 - 1),
+                         st.integers(0, 2**24 - 1))
+
+        @settings(max_examples=200, deadline=None)
+        @given(trip, trip)
+        def check(a, b):
+            ea, eb = U.encode_priority(*a), U.encode_priority(*b)
+            assert (a < b) == (int(ea) < int(eb))  # lexicographic ⇔ numeric
+            da = tuple(int(x) for x in U.decode_priority(ea))
+            assert da == a
+
+        check()
+
+    def test_fnv_vectorized_matches_scalar(self):
+        from hypothesis import given, settings, strategies as st
+        import pyarrow as pa
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.text(max_size=64), min_size=1, max_size=20))
+        def check(strs):
+            vec = U.hash_strings(pa.array(strs, type=pa.string()))
+            for s, h in zip(strs, vec):
+                assert U.fnv1a64(s) == int(h)
+
+        check()
+
+    def test_cuckoo_never_false_negative(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(st.integers(1, 2**63 - 1), min_size=1, max_size=500,
+                        unique=True))
+        def check(keys):
+            f = CuckooFilter(log2_buckets=6)  # deliberately tiny → overflow
+            arr = np.array(keys, dtype=np.uint64)
+            f.contains_and_add(arr)
+            assert f.contains(arr).all()
+
+        check()
+
+    def test_extract_text_deterministic_and_idempotent_shape(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.text(max_size=200))
+        def check(s):
+            html = f"<html><body><p>{s.replace('<', '&lt;')}</p></body></html>".encode()
+            out1 = extract_text(html)
+            out2 = extract_text(html)
+            assert out1 == out2
+            assert out1 == out1.strip()
+            assert "\n\n" not in out1
+
+        check()
