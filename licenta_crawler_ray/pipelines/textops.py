@@ -253,30 +253,47 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     doubles as the oracle for the approximate variants.
     """
     ids, masks, popcnt = _word_bitmasks(sf_dir)
-    nlimbs = masks.shape[1]
+    state_ref = ray.put({"ids": ids, "masks": masks, "popcnt": popcnt})
     n = len(ids)
-    out_a, out_b = [], []
     block = 512
-    for s in range(0, n, block):
-        blk = masks[s : s + block]
-        inter = np.zeros((blk.shape[0], n), dtype=np.int64)
-        for l in range(nlimbs):
-            x = blk[:, l][:, None] & masks[:, l][None, :]
-            inter += np.unpackbits(
-                x.view(np.uint8).reshape(blk.shape[0], n, 8), axis=2
-            ).sum(axis=2).astype(np.int64)
-        union = popcnt[s : s + block][:, None] + popcnt[None, :] - inter
-        jac = inter / np.maximum(union, 1)
-        ai, bi = np.nonzero(jac >= threshold)
-        keep = (s + ai) < bi  # a < b, no self-pairs
-        out_a.extend(ids[s + ai[keep]])
-        out_b.extend(ids[bi[keep]])
-    return (
-        pd.DataFrame({"doc_a": np.array(out_a, dtype="int64"),
-                      "doc_b": np.array(out_b, dtype="int64")})
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+
+    def block_score(df: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: the broadcast state resolves zero-copy from the
+        # local object store per task (no actor pool spin-up for ~10 tasks)
+        st = ray.get(state_ref)
+        ids_l, masks_l, popcnt_l = st["ids"], st["masks"], st["popcnt"]
+        nlimbs = masks_l.shape[1]
+        N = len(ids_l)
+        out_a, out_b = [], []
+        for s in df["start"]:
+            s = int(s)
+            blk = masks_l[s : s + block]
+            inter = np.zeros((blk.shape[0], N), dtype=np.int64)
+            for l in range(nlimbs):
+                x = blk[:, l][:, None] & masks_l[:, l][None, :]
+                inter += np.unpackbits(
+                    x.view(np.uint8).reshape(blk.shape[0], N, 8), axis=2
+                ).sum(axis=2).astype(np.int64)
+            union = popcnt_l[s : s + block][:, None] + popcnt_l[None, :] - inter
+            jac = inter / np.maximum(union, 1)
+            ai, bi = np.nonzero(jac >= threshold)
+            keep = (s + ai) < bi  # a < b, no self-pairs
+            out_a.append(ids_l[s + ai[keep]])
+            out_b.append(ids_l[bi[keep]])
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64") if out_a else
+                     np.array([], dtype="int64"),
+            "doc_b": np.concatenate(out_b).astype("int64") if out_b else
+                     np.array([], dtype="int64"),
+        })
+
+    starts = pa.table({"start": pa.array(range(0, n, block), type=pa.int64())})
+    out = (
+        rd.from_arrow(starts)
+        .map_batches(block_score, batch_format="pandas", batch_size=1)
+        .to_pandas()
     )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +373,9 @@ class MinHasher:
 
 
 def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs for one hash-partition: vectorized groupby inside."""
+    """Candidate pairs for one hash-partition: vectorized groupby inside,
+    deduped per partition before leaving the worker (a pair recurring in
+    several of this partition's buckets ships once)."""
     outs = []
     for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
         ids = np.unique(grp["doc_id"].to_numpy())
@@ -367,7 +386,7 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     if not outs:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
-    allp = np.concatenate(outs)
+    allp = np.unique(np.concatenate(outs), axis=0)
     return pd.DataFrame({"doc_a": allp[:, 0], "doc_b": allp[:, 1]})
 
 
@@ -414,11 +433,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 class SimHasher:
+    """Batch-vectorized simhash: each distinct word in the batch hashes once
+    (vectorized FNV), per-doc signatures reduce over the word-bit matrix."""
+
     def __init__(self):
         pass
 
     @staticmethod
     def simhash(text: str) -> int:
+        """Scalar reference form (kept as the frozen spec for tests)."""
         acc = np.zeros(64, dtype=np.int64)
         for w in set(text.split()):
             h = fnv1a64(w)
@@ -431,14 +454,27 @@ class SimHasher:
         return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": np.array(
-                    [self.simhash(t) for t in df["text"]], dtype=np.uint64
-                ).astype("int64"),
-            }
-        )
+        import pyarrow as _pa
+
+        from ..functions.urls import hash_strings
+
+        word_sets = [sorted(set(t.split())) for t in df["text"]]
+        distinct = sorted({w for ws in word_sets for w in ws})
+        if distinct:
+            uh = hash_strings(_pa.array(distinct, type=_pa.string()))
+            bitmat = ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                      & np.uint64(1)).astype(np.int8) * 2 - 1  # ±1 per bit
+            pos = {w: i for i, w in enumerate(distinct)}
+        sigs = np.zeros(len(df), dtype=np.uint64)
+        for i, ws in enumerate(word_sets):
+            if not ws:
+                continue
+            rows = np.fromiter((pos[w] for w in ws), dtype=np.int64, count=len(ws))
+            acc = bitmat[rows].sum(axis=0)
+            sigs[i] = np.packbits((acc > 0).astype(np.uint8),
+                                  bitorder="little").view(np.uint64)[0]
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "simhash": sigs.astype("int64")})
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
@@ -457,22 +493,39 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
     ids = sig["doc_id"].to_numpy()
     hs = sig["simhash"].to_numpy().astype(np.uint64)
-    out_a, out_b = [], []
+    sig_ref = ray.put({"ids": ids, "hs": hs})
     block = 1024
     n = len(ids)
-    for s in range(0, n, block):
-        x = hs[s : s + block][:, None] ^ hs[None, :]
-        d = np.unpackbits(x.view(np.uint8).reshape(x.shape[0], n, 8), axis=2).sum(axis=2)
-        ai, bi = np.nonzero(d <= max_hamming)
-        keep = (s + ai) < bi
-        out_a.extend(ids[s + ai[keep]])
-        out_b.extend(ids[bi[keep]])
-    return (
-        pd.DataFrame({"doc_a": np.array(out_a, dtype="int64"),
-                      "doc_b": np.array(out_b, dtype="int64")})
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+
+    def hamming_block(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(sig_ref)
+        ids_l, hs_l = st["ids"], st["hs"]
+        N = len(ids_l)
+        out_a, out_b = [], []
+        for s in df["start"]:
+            s = int(s)
+            x = hs_l[s : s + block][:, None] ^ hs_l[None, :]
+            d = np.unpackbits(
+                x.view(np.uint8).reshape(x.shape[0], N, 8), axis=2
+            ).sum(axis=2)
+            ai, bi = np.nonzero(d <= max_hamming)
+            keep = (s + ai) < bi
+            out_a.append(ids_l[s + ai[keep]])
+            out_b.append(ids_l[bi[keep]])
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64") if out_a else
+                     np.array([], dtype="int64"),
+            "doc_b": np.concatenate(out_b).astype("int64") if out_b else
+                     np.array([], dtype="int64"),
+        })
+
+    starts = pa.table({"start": pa.array(range(0, n, block), type=pa.int64())})
+    out = (
+        rd.from_arrow(starts)
+        .map_batches(hamming_block, batch_format="pandas", batch_size=1)
+        .to_pandas()
     )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
