@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": cq.crawl_url_seen,
         "crawl_lineage": cq.crawl_lineage,
         "crawl_extracted_text": cq.crawl_extracted_text,
+        "media_stats": cq.media_stats,  # multimodal binary-column plumbing (rows-only)
         # --- relational operator coverage (SQL-checked)
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,

@@ -322,7 +322,7 @@ SMALL = dict(num_hosts=20, shelves_per_host=8, products_per_shelf=12)
 # (few waves → less fixed per-wave cost) with wide shelves and heavy pages
 # so per-wave compute dominates scheduling overhead at both CPU levels
 BENCH = dict(num_hosts=384, shelves_per_host=4, products_per_shelf=60,
-             num_buckets=64, desc_scale=32)
+             num_buckets=256, desc_scale=32)
 
 if __name__ == "__main__":
     import sys

@@ -419,12 +419,15 @@ class CrawlPipeline:
 
         P = self._pool_size()
         R = min(self.BUCKET_REPLICATION, P)
+        # weight = partition byte size: a better proxy than rows for
+        # extract/enrich cost (∝ html bytes), used for both ownership
+        # placement and per-wave / per-bucket LPT
         counts: dict[int, int] = {}
         for d in glob.glob(os.path.join(self.pages_dir, "host_bucket=*")):
             b = int(d.rsplit("=", 1)[1])
             n = 0
             for f in glob.glob(os.path.join(d, "*.parquet")):
-                n += pq.read_metadata(f).num_rows
+                n += os.path.getsize(f)
             counts[b] = n
         self._bucket_counts = counts
         load = [0.0] * P

@@ -71,3 +71,37 @@ def crawl_extracted_text(sf_dir: str) -> pa.Table:
     t = pipe.visited_table()
     mask = pa.compute.equal(t.column("fetched"), True)
     return t.filter(mask).select(["url", "text"])
+
+
+def media_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo (rows-only): decode/frame-sample the
+    deterministic fake media corpus through actor-pool ``map_batches``
+    stages over binary columns (``stages/multimodal.py``), then aggregate
+    per media type. Deterministic for a given sf (row count scales)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioFrameSample, ImageDecode, synth_media_table
+
+    n = 200 if "0.01" in sf_dir or "0.1" in sf_dir else 50
+    ds = rd.from_arrow(synth_media_table(n))
+    imgs = (
+        ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "image")),
+                       batch_format="pyarrow")
+        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    auds = (
+        ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "audio")),
+                       batch_format="pyarrow")
+        .map_batches(AudioFrameSample, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "media_type": ["audio", "image"],
+        "n": [len(auds), len(imgs)],
+        "total_px_or_frames": [
+            int(auds["n_frames"].sum()),
+            int((imgs["width"] * imgs["height"]).sum()),
+        ],
+    })

@@ -73,15 +73,21 @@ def crawl_bucket_local(
     total_fetched = 0
     while frontier.num_rows > 0:
         t0 = time.perf_counter()
-        fdf = frontier.to_pandas()
-        fdf = fdf.sort_values(["priority", "url"], kind="mergesort")
-        within = fdf.groupby("host", sort=False).cumcount() < host_budget
-        selected = fdf[within]
-        leftovers = fdf[~within]
-        if len(selected) == 0:
-            break
-
-        batch = pa.Table.from_pandas(selected, preserve_index=False)
+        # politeness budget: fast path when no host exceeds it (record order
+        # is logical — rank-encoded — so no sort is needed to select all)
+        host_counts = pc.value_counts(frontier.column("host"))
+        max_per_host = int(pc.max(host_counts.field("counts")).as_py() or 0)
+        if max_per_host <= host_budget:
+            batch = frontier
+            leftovers = None
+        else:
+            fdf = frontier.to_pandas().sort_values(["priority", "url"], kind="mergesort")
+            within = fdf.groupby("host", sort=False).cumcount() < host_budget
+            selected = fdf[within]
+            leftovers = fdf[~within]
+            if len(selected) == 0:
+                break
+            batch = pa.Table.from_pandas(selected, preserve_index=False)
         out = fetch_process(batch)
         kind = out.column("kind")
         visited = out.filter(pc.equal(kind, "visited")).drop_columns(["kind"])
@@ -126,8 +132,11 @@ def crawl_bucket_local(
             pq.write_table(visited, os.path.join(tmp, f"visited-{wave:05d}.parquet"),
                            compression="zstd")
         # host_bucket column travels with leftovers for the next local wave
-        lo_t = pa.Table.from_pandas(leftovers, preserve_index=False) \
-            if len(leftovers) else batch.slice(0, 0)
+        lo_t = (
+            pa.Table.from_pandas(leftovers, preserve_index=False)
+            if leftovers is not None and len(leftovers)
+            else batch.slice(0, 0)
+        )
         frontier = pa.concat_tables([
             lo_t.select(batch.column_names),
             to_frontier.append_column(
@@ -140,7 +149,7 @@ def crawl_bucket_local(
         lineage.append({
             "bucket": bucket_id,
             "wave": wave,
-            "urls_in": int(len(selected)),
+            "urls_in": int(batch.num_rows),
             "recorded": int(visited.num_rows),
             "dedup_hits": dedup_hits,
             "frontier_out": int(frontier.num_rows),
