@@ -137,7 +137,15 @@ class CrawlPipeline:
 
     def _pool_size(self) -> int:
         c = self.fetch_concurrency
-        return c[1] if isinstance(c, tuple) else c
+        want = c[1] if isinstance(c, tuple) else c
+        # clamp to the session's CPUs (leave one for the driver) — an
+        # over-sized pool would deadlock waiting for actor resources in a
+        # small ray.init session (e.g. the graft driver's verify run)
+        try:
+            avail = int(ray.cluster_resources().get("CPU", want))
+        except Exception:
+            avail = want
+        return max(1, min(want, avail - 1 if avail > 1 else 1))
 
     # -- checkpoint layout --------------------------------------------------
     def _wave_dir(self, w: int) -> str:

@@ -88,13 +88,13 @@ def media_stats(sf_dir: str) -> pd.DataFrame:
     imgs = (
         ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "image")),
                        batch_format="pyarrow")
-        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(ImageDecode, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
         .to_pandas()
     )
     auds = (
         ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "audio")),
                        batch_format="pyarrow")
-        .map_batches(AudioFrameSample, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(AudioFrameSample, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
         .to_pandas()
     )
     return pd.DataFrame({

@@ -126,7 +126,7 @@ def supplier_stats(sf_dir: str) -> pd.DataFrame:
     out = (
         _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
         .map_batches(Tag, batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
-                     concurrency=2)
+                     concurrency=(1, 2))
         .groupby("r_name")
         .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
                    Sum("total_acctbal", alias_name="total_acctbal"))

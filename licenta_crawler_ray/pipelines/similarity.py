@@ -73,7 +73,7 @@ def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFram
         KnnScorer,
         fn_constructor_args=(queries_ref, k),
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()
 
     out = []
@@ -128,7 +128,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
 
     out = (
         _emb(sf_dir, columns=["vec_id"])
-        .map_batches(BlockScore, batch_format="pandas", concurrency=2)
+        .map_batches(BlockScore, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
@@ -211,7 +211,7 @@ def embedding_knn_ivf(
             return pd.concat(frames, ignore_index=True)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        IvfScorer, batch_format="pandas", concurrency=2
+        IvfScorer, batch_format="pandas", concurrency=(1, 2)
     ).to_pandas()
 
     out = []

@@ -64,7 +64,7 @@ class LangId:
 def lang_id(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(LangId, batch_format="pandas", concurrency=2)
+        .map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -109,7 +109,7 @@ class TokenCount:
 def token_counts(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(TokenCount, batch_format="pandas", concurrency=2)
+        .map_batches(TokenCount, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -143,7 +143,7 @@ class QualityScore:
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(QualityScore, batch_format="pandas", concurrency=2)
+        .map_batches(QualityScore, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -224,7 +224,7 @@ def _word_bitmasks(sf_dir: str):
                 out[f"m{l}"] = masks[:, l].astype("int64")  # bit-cast for arrow
             return pd.DataFrame(out)
 
-    bm = docs.map_batches(Bitmask, batch_format="pandas", concurrency=2).to_pandas()
+    bm = docs.map_batches(Bitmask, batch_format="pandas", concurrency=(1, 2)).to_pandas()
     bm = bm.sort_values("doc_id").reset_index(drop=True)
     ids = bm["doc_id"].to_numpy()
     masks = np.stack([bm[f"m{l}"].to_numpy().astype(np.uint64) for l in range(nlimbs)], axis=1)
@@ -401,7 +401,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     still prunes the J<0.5 mass that dominates real corpora.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 2))
     cand = (
         bands.groupby("bucket")
         .map_groups(_emit_bucket_pairs, batch_format="pandas")
@@ -487,7 +487,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """
     sig = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(SimHasher, batch_format="pandas", concurrency=2)
+        .map_batches(SimHasher, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
         .sort_values("doc_id")
     )
@@ -563,7 +563,7 @@ class Fingerprinter:
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+        .map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
