@@ -35,6 +35,9 @@ def _run(sf_dir: str, tag: str, **kw) -> CrawlPipeline:
     shutil.rmtree(wd, ignore_errors=True)
     pipe = CrawlPipeline(fixture, wd, **kw)
     pipe.run()
+    # release actors promptly (results are read back from the committed
+    # checkpoint on disk; the next query should not wait on GC for CPUs)
+    pipe.close()
     return pipe
 
 
