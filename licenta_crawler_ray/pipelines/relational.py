@@ -96,7 +96,14 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     agg["revenue"] = agg["revenue"].round(2)
     agg["n_orders"] = agg["n_orders"].astype("int64")
     out = agg.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(k)
-    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    # only the k winning keys leave the customer dim: the parquet row filter
+    # prunes row groups at the read — never the whole dimension to the driver
+    keys = out["o_custkey"].astype("int64").tolist()
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
     out = out.rename(columns={"o_custkey": "c_custkey"}).merge(cust, on="c_custkey")
     return out.reset_index(drop=True)[["c_custkey", "c_name", "revenue", "n_orders"]]
 
@@ -106,17 +113,20 @@ def supplier_stats(sf_dir: str) -> pd.DataFrame:
     nation = _pq(sf_dir, "nation").to_pandas()
     region = _pq(sf_dir, "region").to_pandas()
     n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup_ref = ray.put(dict(zip(n2r["n_nationkey"], n2r["r_name"])))
+    lookup_ref = ray.put(
+        {"keys": pa.array(n2r["n_nationkey"], type=pa.int64()),
+         "vals": pa.array(n2r["r_name"], type=pa.string())}
+    )
 
     class Tag:
         def __init__(self):
-            self.r_of_n = ray.get(lookup_ref)  # once per actor
+            lk = ray.get(lookup_ref)  # once per actor
+            self.keys, self.vals = lk["keys"], lk["vals"]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            r_name = pa.array(
-                [self.r_of_n.get(k) for k in t["s_nationkey"].to_pylist()],
-                type=pa.string(),
-            )
+            idx = pc.index_in(t["s_nationkey"].cast(pa.int64()),
+                              value_set=self.keys)
+            r_name = pc.take(self.vals, idx)  # vectorized dim probe
             t = t.append_column("r_name", r_name)
             g = t.group_by("r_name").aggregate(
                 [("s_suppkey", "count"), ("s_acctbal", "sum")]
@@ -214,33 +224,46 @@ def distinct_segments(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"c_mktsegment": sorted(vals)})
 
 
+_USER_BUCKETS = 32  # coarse hash-partitions for per-user window ops
+
+
+def _bucket_users(t: pa.Table) -> pa.Table:
+    """Coarse user hash-partition key: one Ray group per BUCKET (≈32), not
+    per user — ``map_groups`` costs ~1 ms of Python per group, so millions
+    of tiny per-user groups would dominate; inside a bucket the per-user
+    work is a vectorized pandas sort + segment scan."""
+    b = pc.cast(
+        pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                        pa.scalar(_USER_BUCKETS - 1, pa.int64())),
+        pa.int32(),
+    )
+    return t.append_column("bucket", b)
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization — the stream-shaped op as a batch groupby (guide
-    §streaming-shaped): events partitioned by key, sorted by ts within the
-    group, a new session when the gap exceeds ``gap_minutes``.
-
-    ``groupby(user_id).map_groups`` holds one user's (small) event history
-    per call; at scale user_id hash-partitions the shuffle and groups stay
-    bounded. Tie-break inside a group: (ts, event_id).
+    §streaming-shaped): events hash-partitioned by user into coarse buckets,
+    sorted by (user, ts, event_id) within the bucket, vectorized
+    session-break detection (user change OR gap > ``gap_minutes``), one
+    pandas groupby-agg per bucket. Tie-break inside a user: (ts, event_id).
     """
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        prev = g["ts"].shift(1)
-        new_session = prev.isna() | ((g["ts"] - prev) > gap)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
-            }
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift(1))
+        gap_break = (g["ts"] - g["ts"].shift(1)) > gap
+        g = g.assign(ns=(new_user | gap_break))
+        agg = g.groupby("user_id", as_index=False).agg(
+            n_sessions=("ns", "sum"), n_events=("ns", "size")
         )
+        return agg
 
     out = (
         _pq(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -250,19 +273,22 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per-key top-k (window-function shape): the k highest-value events of
-    each user, ranked. Tie-break: higher value first, then lower event_id."""
+    each user, ranked. Tie-break: higher value first, then lower event_id.
+    Same coarse-bucket partitioning as sessionization; ranking inside a
+    bucket is one sort + cumcount, never a per-user Python call."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(rank=g.groupby("user_id").cumcount() + 1)
+        g = g[g["rank"] <= k]
         return g[["user_id", "event_id", "rank"]]
 
     out = (
         _pq(sf_dir, "events", columns=["user_id", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     return (

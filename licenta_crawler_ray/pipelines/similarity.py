@@ -5,10 +5,19 @@
   top-k rows flow to a tiny final reduction. SQL-checkable via DuckDB
   ``list_cosine_similarity``.
 - :func:`embedding_neardup_pairs` — all pairs above a cosine threshold
-  (embedding near-dup dedup).
-- :func:`embedding_knn_ivf` — IVF-bucketed approximate variant (the scale
+  (embedding near-dup dedup), IVF-bucketed: vectors multi-assign to their
+  nearest centroids and pairs are scanned only within shared buckets — the
+  whole table never materializes on the driver and no full similarity
+  matrix is formed. The exact blocked scan remains as
+  :func:`embedding_neardup_pairs_exact` (the test oracle).
+- :func:`embedding_knn_ivf` — IVF-bucketed approximate top-k (the scale
   path): k-means-lite centroids on a sample, per-batch assignment, probe
   only the ``nprobe`` nearest buckets.
+
+All reads prune at the source: query/sample selection uses parquet row
+filters (``read_parquet(filter=...)``), never a post-read pandas mask — a
+size-0 pandas batch with an object embedding column also trips Ray's block
+size estimator, so filters stay in Arrow land.
 """
 
 from __future__ import annotations
@@ -17,16 +26,34 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .textops import _pool
 
-def _emb(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+def _emb(sf_dir: str, columns=None, filter=None) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns, filter=filter
+    )
 
 
 def _to_matrix(df: pd.DataFrame) -> np.ndarray:
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _query_frame(sf_dir: str, num_queries: int) -> pd.DataFrame:
+    """The first ``num_queries`` vectors via a pruned parquet row filter."""
+    return (
+        _emb(sf_dir, filter=pc.field("vec_id") < num_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
 
 
 class KnnScorer:
@@ -36,13 +63,11 @@ class KnnScorer:
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref)  # once per actor
         self.qids = q["ids"]
-        qm = q["matrix"]
-        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.qnorm = _normalize(q["matrix"])
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _to_matrix(df)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        m = _normalize(_to_matrix(df))
         sims = self.qnorm @ m.T  # (Q, B)
         ids = df["vec_id"].to_numpy()
         out = []
@@ -55,27 +80,8 @@ class KnnScorer:
         return pd.concat(out, ignore_index=True)
 
 
-def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFrame:
-    """Exact cosine top-k (self excluded). Output: query_id, vec_id, rank.
-
-    Tie-break: higher sim first, then lower vec_id (ties are measure-zero on
-    this corpus; the rank column is hash-compared against DuckDB).
-    """
-    qdf = (
-        _emb(sf_dir)
-        .map_batches(lambda df: df[df["vec_id"] < num_queries], batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": _to_matrix(qdf)})
-
-    partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        KnnScorer,
-        fn_constructor_args=(queries_ref, k),
-        batch_format="pandas",
-        concurrency=(1, 2),
-    ).to_pandas()
-
+def _rank_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Tiny driver-side final reduction over per-batch top-k candidates."""
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g[g["vec_id"] != qid]
@@ -95,18 +101,112 @@ def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFram
     )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup.
+def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k (self excluded). Output: query_id, vec_id, rank.
 
-    The full normalized matrix is broadcast once; each batch computes its
-    block-row of the similarity matrix (block × all matmul). At 10^9+
-    vectors the same stage runs after LSH/IVF bucketing so blocks only span
-    one bucket; flagged here because the testdata corpus is small.
+    Tie-break: higher sim first, then lower vec_id (ties are measure-zero on
+    this corpus; the rank column is hash-compared against DuckDB).
     """
+    qdf = _query_frame(sf_dir, num_queries)
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": _to_matrix(qdf)})
+
+    partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        KnnScorer,
+        fn_constructor_args=(queries_ref, k),
+        batch_format="pandas",
+        concurrency=_pool(),
+    ).to_pandas()
+    return _rank_partials(partials, k)
+
+
+def _ivf_centroids(
+    sf_dir: str, num_centroids: int, iters: int = 5, sample_n: int = 512
+) -> np.ndarray:
+    """Deterministic k-means-lite centroids from a pruned row-range sample
+    (fixed init: first C sample points; normalized spherical updates)."""
+    sample = _emb(
+        sf_dir, columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < sample_n,
+    ).to_pandas()
+    sm = _normalize(_to_matrix(sample))
+    C = min(num_centroids, len(sm))
+    cent = sm[:C].copy()
+    for _ in range(iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(C):
+            mask = assign == c
+            if mask.any():
+                v = sm[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.45,
+    num_centroids: int = 16, assign: int = 6,
+) -> pd.DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup,
+    IVF-bucketed (the 10^9-vector shape).
+
+    Each vector multi-assigns to its ``assign`` nearest centroids (rows
+    explode ×assign); one ``groupby(bucket)`` co-locates candidate
+    neighborhoods and the per-bucket scan does a bucket-local matmul.
+    A pair is found iff the two vectors share ≥1 assigned bucket — with
+    ``assign`` probes per side this covers every threshold pair on the
+    test corpora (verified against the exact scan in tests); remaining
+    recall risk is the standard IVF boundary case, tunable via ``assign``.
+    Nothing materializes on the driver and no n×n matrix is formed.
+    """
+    cent_ref = ray.put(_ivf_centroids(sf_dir, num_centroids))
+
+    class AssignBuckets:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_to_matrix(df))
+            R = min(assign, self.cent.shape[0])
+            top = np.argpartition(-(m @ self.cent.T), R - 1, axis=1)[:, :R]
+            n = len(df)
+            return pd.DataFrame({
+                "bucket": top.reshape(-1).astype(np.int32),
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), R),
+                "embedding": df["embedding"].to_numpy().repeat(R),
+            })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("vec_id")
+        ids = u["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(u))
+        sims = m @ m.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a_ids, b_ids = ids[ai], ids[bi]
+        keep = a_ids < b_ids
+        return pd.DataFrame({
+            "vec_a": a_ids[keep].astype("int64"),
+            "vec_b": b_ids[keep].astype("int64"),
+        })
+
+    out = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(AssignBuckets, batch_format="pandas", concurrency=_pool())
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    # a pair sharing several buckets emits once per shared bucket; the final
+    # (small, already thresholded) result dedups driver-side
+    out = out.drop_duplicates()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Exact blocked all-pairs scan — the test oracle for the IVF-bucketed
+    operator. Broadcasts the full normalized matrix (fine at test scales;
+    the production path is :func:`embedding_neardup_pairs`)."""
     all_df = _emb(sf_dir, columns=["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
     ids_all = all_df["vec_id"].to_numpy()
-    m = _to_matrix(all_df)
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    m = _normalize(_to_matrix(all_df))
     mat_ref = ray.put({"ids": ids_all, "matrix": m})
 
     class BlockScore:
@@ -128,7 +228,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
 
     out = (
         _emb(sf_dir, columns=["vec_id"])
-        .map_batches(BlockScore, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(BlockScore, batch_format="pandas", concurrency=_pool())
         .to_pandas()
     )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
@@ -144,38 +244,16 @@ def embedding_knn_ivf(
     Recall measured against :func:`embedding_knn` in tests. Output schema
     matches the exact variant.
     """
-    sample = (
-        _emb(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(lambda df: df[df["vec_id"] % 7 == 0], batch_format="pandas")
-        .to_pandas()
-    )
-    sm = _to_matrix(sample)
-    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-30)
-    # deterministic k-means-lite (fixed init: first C sample points)
-    C = min(num_centroids, len(sm))
-    cent = sm[:C].copy()
-    for _ in range(iters):
-        assign = np.argmax(sm @ cent.T, axis=1)
-        for c in range(C):
-            mask = assign == c
-            if mask.any():
-                v = sm[mask].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    cent = _ivf_centroids(sf_dir, num_centroids, iters=iters)
     cent_ref = ray.put(cent)
 
-    qdf = (
-        _emb(sf_dir)
-        .map_batches(lambda df: df[df["vec_id"] < num_queries], batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    qm = _to_matrix(qdf)
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    qdf = _query_frame(sf_dir, num_queries)
+    qm = _normalize(_to_matrix(qdf))
     probe_buckets = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
-    wanted: dict[int, set[int]] = {}
+    wanted: dict[int, list[int]] = {}
     for qi, qid in enumerate(qdf["vec_id"]):
         for b in probe_buckets[qi]:
-            wanted.setdefault(int(b), set()).add(int(qid))
+            wanted.setdefault(int(b), []).append(int(qid))
     wanted_ref = ray.put(wanted)
     queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
 
@@ -188,8 +266,7 @@ def embedding_knn_ivf(
             self.qpos = {int(v): i for i, v in enumerate(self.qids)}
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _to_matrix(df)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            m = _normalize(_to_matrix(df))
             buckets = np.argmax(m @ self.cent.T, axis=1)
             ids = df["vec_id"].to_numpy()
             frames = []
@@ -199,11 +276,14 @@ def embedding_knn_ivf(
                     continue
                 sel = buckets == b
                 sub_ids, sub_m = ids[sel], m[sel]
-                for qid in sorted(qids):
-                    sims = self.qm[self.qpos[qid]] @ sub_m.T
-                    frames.append(
-                        pd.DataFrame({"query_id": qid, "vec_id": sub_ids, "sim": sims})
-                    )
+                qrows = np.array([self.qpos[q] for q in sorted(qids)])
+                sims = self.qm[qrows] @ sub_m.T  # all this bucket's queries at once
+                nq, nb = sims.shape
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(self.qids[qrows], nb),
+                    "vec_id": np.tile(sub_ids, nq),
+                    "sim": sims.reshape(-1),
+                }))
             if not frames:
                 return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                      "vec_id": pd.Series([], dtype="int64"),
@@ -211,18 +291,6 @@ def embedding_knn_ivf(
             return pd.concat(frames, ignore_index=True)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        IvfScorer, batch_format="pandas", concurrency=(1, 2)
+        IvfScorer, batch_format="pandas", concurrency=_pool()
     ).to_pandas()
-
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g[g["vec_id"] != qid]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        out.append(pd.DataFrame({"query_id": qid, "vec_id": g["vec_id"],
-                                 "rank": np.arange(1, len(g) + 1, dtype=np.int64)}))
-    return (
-        pd.concat(out, ignore_index=True)
-        .astype({"query_id": "int64", "vec_id": "int64"})
-        .sort_values(["query_id", "rank"])
-        .reset_index(drop=True)
-    )
+    return _rank_partials(partials, k)

@@ -56,6 +56,53 @@ def test_minhash_recall_vs_exact(entry_mod):
     assert len(approx) >= 0.95 * len(exact)
 
 
+def test_simhash_bucketed_equals_exact():
+    """Manku rotation-block bucketing must be EXACT (pigeonhole guarantee)."""
+    from licenta_crawler_ray.pipelines.textops import simhash_pairs, simhash_pairs_exact
+
+    assert simhash_pairs(SF_DIR).equals(simhash_pairs_exact(SF_DIR))
+
+
+def test_embedding_neardup_ivf_equals_exact():
+    from licenta_crawler_ray.pipelines.similarity import (
+        embedding_neardup_pairs, embedding_neardup_pairs_exact,
+    )
+
+    assert embedding_neardup_pairs(SF_DIR).equals(embedding_neardup_pairs_exact(SF_DIR))
+
+
+def test_minhash_unbounded_vocab(tmp_path):
+    """The verify join must work on corpora far beyond the old 512-word cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.pipelines.textops import (
+        minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i:04d}" for i in range(2000)]  # 2000-word vocabulary
+    texts, n_base = [], 60
+    for _ in range(n_base):
+        words = rng.choice(vocab, size=40, replace=False)
+        texts.append(" ".join(words))
+        dup = words.copy()
+        dup[rng.integers(0, len(dup))] = rng.choice(vocab)  # 1 substitution
+        texts.append(" ".join(dup))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/documents.parquet")
+    exact = ngram_jaccard_pairs(d)      # no vocab cap anymore
+    approx = minhash_lsh_pairs(d)
+    es = set(map(tuple, exact.itertuples(index=False)))
+    ms = set(map(tuple, approx.itertuples(index=False)))
+    assert len(es) >= n_base            # the substituted dups are J≈0.9 pairs
+    assert ms <= es                     # exact verify: no false positives
+    assert len(ms) >= 0.95 * len(es)
+
+
 def test_ivf_recall_vs_exact(entry_mod):
     from licenta_crawler_ray.pipelines.similarity import embedding_knn, embedding_knn_ivf
 
