@@ -32,23 +32,35 @@ class Fetcher:
     (per batch) runs the pruned probe. Mirrors the reference's one-browser-
     per-crawler lifecycle (``BrowserCrawler.java:71,94-99,119``) with the
     browser replaced by the corpus handle.
+
+    Memory contract: per-actor corpus residency is bounded in BYTES
+    (``cache_bytes``, default 256 MiB, env ``LCR_FETCH_CACHE_BYTES``). With
+    bucket-affinity routing (the wave loop sends bucket b to actor b % pool)
+    the hot buckets stay LRU-cached; any bucket that does not fit — or any
+    probe after the cache is full — falls back to a **filtered scan**
+    (``url isin(batch)`` + the hive ``host_bucket`` partition filter), which
+    prunes at the row-group level because the corpus is written
+    sorted-by-url with small row groups. Per-actor RSS therefore never
+    scales with corpus size, only with the cap.
     """
 
-    # max bucket partitions cached per actor; with bucket-affinity routing
-    # (the wave loop sends bucket b to actor b % pool) each actor holds only
-    # its ~num_buckets/pool share, so the cache is effectively unbounded for
-    # its own buckets and the cap only guards against skewed routing.
-    CACHE_BUCKETS = 16
+    DEFAULT_CACHE_BYTES = 256 << 20
 
     MAX_REDIRECTS = 5  # mirrors the reference cap (SitemapSaxCrawler.java:102)
 
-    def __init__(self, pages_dir: str, num_buckets: int):
+    def __init__(self, pages_dir: str, num_buckets: int, cache_bytes: int | None = None):
         import json
         import os
+        from collections import OrderedDict
 
         self.ds = pads.dataset(pages_dir, partitioning="hive")
         self.num_buckets = num_buckets
-        self._cache: dict[int, tuple[dict, pa.Table]] = {}  # bucket → (url→row, table)
+        self._cache: "OrderedDict[int, tuple[dict, pa.Table]]" = OrderedDict()
+        self._cache_nbytes = 0
+        self.cache_bytes = (
+            cache_bytes if cache_bytes is not None
+            else int(os.environ.get("LCR_FETCH_CACHE_BYTES", self.DEFAULT_CACHE_BYTES))
+        )
         # redirect map (url → url), the sandbox form of 301/302/303 chasing
         # (``SitemapSaxCrawler.java:96-128``); same-host redirects only, so
         # the resolved url stays in the probe's bucket
@@ -71,25 +83,47 @@ class Fetcher:
             url = absolutize(url, nxt)
         return url
 
-    def _bucket(self, b: int) -> tuple[dict, pa.Table]:
+    def _insert_cache(self, b: int, idx: dict, t: pa.Table) -> None:
+        nb = t.nbytes
+        while self._cache and self._cache_nbytes + nb > self.cache_bytes:
+            _, (_, old) = self._cache.popitem(last=False)  # LRU eviction
+            self._cache_nbytes -= old.nbytes
+        self._cache[b] = (idx, t)
+        self._cache_nbytes += nb
+
+    def _lookup(self, b: int, urls: list[str]) -> tuple[dict, pa.Table]:
+        """(url→row, table) covering ``urls`` of bucket ``b``: the LRU-cached
+        whole-bucket index when it fits the byte budget, else a row-group-
+        pruned filtered scan of just the probed urls."""
         hit = self._cache.get(b)
         if hit is not None:
+            self._cache.move_to_end(b)
             return hit
+        bucket_filter = pc.field("host_bucket") == b
+        if self._cache_nbytes < self.cache_bytes:
+            t = self.ds.to_table(
+                columns=["url", "html", "warc_ts"], filter=bucket_filter
+            )
+            if t.nbytes <= self.cache_bytes:
+                idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
+                self._insert_cache(b, idx, t)
+                return idx, t
+        # probe mode: ship only the batch's urls to the scan; url min/max
+        # statistics prune row groups (corpus written sorted-by-url)
         t = self.ds.to_table(
             columns=["url", "html", "warc_ts"],
-            filter=pc.field("host_bucket") == b,
+            filter=bucket_filter & pc.field("url").isin(urls),
         )
         idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
-        if len(self._cache) >= self.CACHE_BUCKETS:
-            self._cache.pop(next(iter(self._cache)))  # FIFO eviction
-        self._cache[b] = (idx, t)
         return idx, t
 
     def prefetch(self, buckets: list[int]) -> int:
-        """Load + index the given bucket partitions (bucket-affinity warmup)."""
-        self.CACHE_BUCKETS = max(self.CACHE_BUCKETS, len(buckets) + 2)
+        """Warm the given bucket partitions (bucket-affinity), within the
+        byte budget; buckets that don't fit stay in probe mode."""
         for b in buckets:
-            self._bucket(int(b))
+            if self._cache_nbytes >= self.cache_bytes:
+                break
+            self._lookup(int(b), [])
         return len(self._cache)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -99,12 +133,12 @@ class Fetcher:
         urls = batch.column("url").to_pylist()
         bucket_col = batch.column("host_bucket").to_pylist()
         distinct = sorted(set(bucket_col))
+        if self.redirects:
+            urls = [self.resolve_redirects(u) for u in urls]
         if len(distinct) == 1:
             # hot path (blocks are single-bucket by construction): zero-copy
             # null-aware take — html bytes never pass through Python objects
-            idx, t = self._bucket(int(distinct[0]))
-            if self.redirects:
-                urls = [self.resolve_redirects(u) for u in urls]
+            idx, t = self._lookup(int(distinct[0]), urls)
             indices = pa.array([idx.get(u) for u in urls], type=pa.int64())
             html = t.column("html").take(indices).combine_chunks()
             ts = t.column("warc_ts").take(indices).combine_chunks()
@@ -119,10 +153,9 @@ class Fetcher:
         htmls: list = [None] * n
         tss: list = [None] * n
         errs_l: list = ["fetch_miss"] * n
-        if self.redirects:
-            urls = [self.resolve_redirects(u) for u in urls]
         for b in distinct:
-            idx, t = self._bucket(int(b))
+            b_urls = [u for u, ub in zip(urls, bucket_col) if ub == b]
+            idx, t = self._lookup(int(b), b_urls)
             html_col = t.column("html")
             ts_col = t.column("warc_ts")
             for i, (u, ub) in enumerate(zip(urls, bucket_col)):

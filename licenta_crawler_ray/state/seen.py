@@ -209,7 +209,13 @@ class SeenSet:
         ]
 
     def _split(self, h: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
-        shard_of = (h % np.uint64(self.num_shards)).astype(np.int64)
+        # route shards from the TOP hash bits: the cuckoo fingerprint uses
+        # bits 0-15 and the bucket index bits 16+, so low-bit routing would
+        # cost each shard log2(num_shards) bits of fingerprint entropy
+        # (~4x the documented 2^-13 FP rate at 4 shards); bits 48-63 are
+        # disjoint from both, keeping the per-probe FP bound at
+        # slots/2^16 * 2 ≈ 2^-13 regardless of shard count
+        shard_of = ((h >> np.uint64(48)) % np.uint64(self.num_shards)).astype(np.int64)
         return shard_of, [h[shard_of == s] for s in range(self.num_shards)]
 
     def contains_and_add(self, h: np.ndarray) -> np.ndarray:

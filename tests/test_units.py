@@ -138,6 +138,39 @@ class TestCuckoo:
         assert g.contains(keys).all()
 
 
+class TestFetcherCache:
+    def test_byte_capped_probe_parity(self, small_fixture):
+        """A Fetcher with a ~zero byte budget must fall back to row-group-
+        pruned filtered scans and return IDENTICAL results to the cached
+        path, with per-actor residency bounded by the cap."""
+        import pyarrow.dataset as pads
+
+        from licenta_crawler_ray.stages.fetch import Fetcher
+
+        pages = f"{small_fixture}/pages"
+        sample = pads.dataset(pages, partitioning="hive").to_table(
+            columns=["url", "host_bucket"]
+        )
+        # one present and one absent url per bucket probed
+        urls = sample.column("url").to_pylist()[:20]
+        buckets = sample.column("host_bucket").to_pylist()[:20]
+        batch = pa.table({
+            "url": pa.array(
+                urls + [f"http://nowhere{i}.example.com/x" for i in range(3)]
+            ),
+            "host_bucket": pa.array(buckets + buckets[:3],
+                                    type=sample.column("host_bucket").type),
+        })
+        cached = Fetcher(pages, 16)(batch)
+        probed_f = Fetcher(pages, 16, cache_bytes=1)
+        probed = probed_f(batch)
+        assert cached.equals(probed)
+        assert probed_f._cache_nbytes <= 1
+        assert len(probed_f._cache) == 0
+        miss = [e for e in probed.column("fetch_error").to_pylist() if e]
+        assert len(miss) == 3  # the absent urls and only those
+
+
 class TestRobots:
     def test_disallow_prefix(self):
         from licenta_crawler_ray.state.politeness import RobotRules
