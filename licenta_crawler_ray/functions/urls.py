@@ -141,17 +141,21 @@ def host_bucket(hosts: pa.Array | pa.ChunkedArray, num_buckets: int) -> pa.Array
 # ---------------------------------------------------------------------------
 # Priority encoding (SURVEY §2.5 / §4 ordering rule)
 # ---------------------------------------------------------------------------
-# priority = seed_idx * 2^44 + depth * 2^24 + doc_order, all int64 — a single
+# priority = seed_idx * 2^44 + depth * 2^30 + doc_order, all int64 — a single
 # sortable key encoding the reference's lexicographic visit order
 # (seeds in order → pagination depth → document order of links).
-_DEPTH_BITS = 20
-_DOC_BITS = 24
+# The doc field is 30 bits so hierarchical sitemap FIFO slots
+# (slot * 2^14 + page_idx, slot < 2^16 — see oracle.SITEMAP_SLOT_CAP) can
+# never overflow into the depth bits; a 2-level index under the previous
+# 24-bit field could.
+_DEPTH_BITS = 14
+_DOC_BITS = 30
 
 
 def encode_priority(seed_idx, depth, doc_order):
     """Encode (seed_idx, depth, doc_order) into one sortable int64.
 
-    Accepts scalars or numpy arrays. Caps: depth < 2^20, doc_order < 2^24,
+    Accepts scalars or numpy arrays. Caps: depth < 2^14, doc_order < 2^30,
     seed_idx < 2^19 — far beyond any real crawl frontier's fan-out.
     """
     si = np.asarray(seed_idx, dtype=np.int64)

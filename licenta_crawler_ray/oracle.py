@@ -52,16 +52,21 @@ from .functions.extract import (
 from .functions.urls import encode_priority, host_of_url, is_valid_http_url, same_host
 from .state.politeness import RobotRules
 
-DOC_MAX = (1 << 24) - 1
+DOC_MAX = (1 << 30) - 1  # must equal 2^urls._DOC_BITS - 1
 # Sitemap FIFO slots are numbered hierarchically so they are computable
 # locally under parallelism (no global counter): a child of the sitemap in
 # slot m gets slot m*64 + idx; a page URL j of leaf sitemap (gen, m) gets
 # record rank encode(0, gen, m * 2**14 + j). Caps (frozen): ≤64 children
-# per index sitemap, ≤16384 page URLs per sitemap, slot < 1024. The
-# hierarchical numbering sorts identically to the reference's strict FIFO
-# (generation-major, parent-order, child-order — ``SitemapSaxCrawler.java:53-77``).
+# per index sitemap, ≤16384 page URLs per sitemap, slot < 2^16 — ENFORCED:
+# children whose slot would reach the cap are dropped (both here and in the
+# pipeline), so m * 2^14 + j always fits the 30-bit doc field of
+# ``encode_priority`` and the encoded order equals true FIFO at any index
+# nesting depth. The hierarchical numbering sorts identically to the
+# reference's strict FIFO (generation-major, parent-order, child-order —
+# ``SitemapSaxCrawler.java:53-77``).
 SITEMAP_FANOUT = 64
 SITEMAP_PAGE_CAP = 1 << 14
+SITEMAP_SLOT_CAP = 1 << 16
 
 
 @dataclass
@@ -282,8 +287,11 @@ def _crawl_sitemaps(
                     continue
                 if child in res.seen:
                     continue
+                cm = m * SITEMAP_FANOUT + c
+                if cm >= SITEMAP_SLOT_CAP:
+                    continue  # frozen cap: rank space exhausted for this branch
                 res.seen.add(child)
-                queue.append((child, gen + 1, m * SITEMAP_FANOUT + c))
+                queue.append((child, gen + 1, cm))
         else:
             for j, page_url in enumerate(result.urls[:SITEMAP_PAGE_CAP]):
                 if host_of_url(page_url) != host or not robots.allowed_one(page_url, host):

@@ -33,7 +33,7 @@ from ..functions.extract import (
     parse_sitemap,
 )
 from ..functions.urls import encode_priority, host_of_url
-from ..oracle import DOC_MAX, SITEMAP_FANOUT, SITEMAP_PAGE_CAP
+from ..oracle import DOC_MAX, SITEMAP_FANOUT, SITEMAP_PAGE_CAP, SITEMAP_SLOT_CAP
 from ..state.politeness import RobotRules
 
 _OUT_FIELDS = [
@@ -237,6 +237,9 @@ class ProcessPage:
                         if host_of_url(child) != host or not self.rules.allowed_one(child, host):
                             continue
                         cm = m * SITEMAP_FANOUT + c
+                        if cm >= SITEMAP_SLOT_CAP:
+                            continue  # frozen slot cap (see oracle.py) — keeps
+                            # m * 2^14 + j inside the 30-bit doc field
                         emit("candidate", child, host, url, "sitemap", seed_idx,
                              gen + 1, cm,
                              int(encode_priority(seed_idx, gen + 1, cm)),

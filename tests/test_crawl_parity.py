@@ -67,3 +67,81 @@ def test_parity_budget_throttle(tiny_fixture, workdir):
 
 def test_parity_small(small_fixture, workdir):
     _compare(small_fixture, workdir, fetch_leaves=True)
+
+
+@pytest.fixture(scope="session")
+def deep_sitemap_fixture(tmp_path_factory):
+    """3-level sitemap hierarchy (index → index → leaf): exercises the
+    hierarchical FIFO slot numbering at slots ≥ 64·64, which the old 24-bit
+    doc field could overflow into the depth bits."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.fixtures.gen import _sitemap_xml
+    from licenta_crawler_ray.functions.extract import extract_text
+    from licenta_crawler_ray.functions.urls import fnv1a64
+    from licenta_crawler_ray.schemas import PAGES_SCHEMA
+
+    d = str(tmp_path_factory.mktemp("deep_sitemap"))
+    host = "deep.example.com"
+    base = f"http://{host}"
+    num_buckets = 4
+    rows, ts = [], __import__("datetime").datetime(2018, 6, 1)
+
+    def page(path, html, text=""):
+        rows.append({"url": base + path, "warc_ts": ts, "html": html,
+                     "text": text, "lang": "en"})
+
+    # 18 mid indexes: leaf sitemap slots reach 17*64 = 1088 > 1024, i.e.
+    # doc_order = slot * 2^14 exceeds the OLD 24-bit doc field — the exact
+    # overflow this fixture exists to catch
+    mid_urls = []
+    for i in range(18):  # root index → 18 mid indexes
+        leaf_urls = []
+        for j in range(2):  # each mid index → 2 leaf sitemaps
+            prod_urls = []
+            for k in range(3):
+                p = f"/product/{i}-{j}-{k}"
+                html = f"<html><body><p>item {i} {j} {k}</p></body></html>".encode()
+                page(p, html, extract_text(html))
+                prod_urls.append(base + p)
+            lp = f"/sitemap-leaf-{i}-{j}.xml"
+            page(lp, _sitemap_xml(prod_urls))
+            leaf_urls.append(base + lp)
+        mp = f"/sitemap-mid-{i}.xml"
+        page(mp, _sitemap_xml(leaf_urls, index=True))
+        mid_urls.append(base + mp)
+    page("/sitemap-root.xml", _sitemap_xml(mid_urls, index=True))
+
+    b = fnv1a64(host) % num_buckets
+    pdir = os.path.join(d, "pages", f"host_bucket={b}")
+    os.makedirs(pdir)
+    rows.sort(key=lambda r: r["url"])
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+                   os.path.join(pdir, "part-0.parquet"), row_group_size=64)
+    with open(os.path.join(d, "jobs.json"), "w") as f:
+        json.dump([{"homepage": base + "/", "seeds": [],
+                    "additionalSitemaps": []}], f)
+    with open(os.path.join(d, "robots.json"), "w") as f:
+        json.dump({host: {"disallow": [],
+                          "sitemaps": [base + "/sitemap-root.xml"]}}, f)
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets, "gen_version": 0}, f)
+    return d
+
+
+def test_parity_three_level_sitemap(deep_sitemap_fixture, workdir):
+    """Deep index nesting: record ranks must still equal the serial FIFO."""
+    from licenta_crawler_ray.functions.urls import decode_priority
+
+    s = _compare(deep_sitemap_fixture, workdir, fetch_leaves=True)
+    assert s["visited_rows"] == 18 * 2 * 3
+    oracle = crawl_oracle(deep_sitemap_fixture, fetch_leaves=True)
+    max_doc = 0
+    for r in oracle.sorted_visited():
+        si, dep, doc = decode_priority(r.priority)
+        assert int(dep) == r.depth - 1  # sitemap pages rank at discovery gen
+        max_doc = max(max_doc, int(doc))
+    assert max_doc >= (1 << 24)  # the fixture really exercises the old overflow

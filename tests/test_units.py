@@ -43,10 +43,10 @@ class TestUrlFns:
     def test_priority_roundtrip(self):
         si, d, o = U.decode_priority(U.encode_priority(37, 1023, 99999))
         assert (int(si), int(d), int(o)) == (37, 1023, 99999)
-        # lexicographic order preserved
-        a = U.encode_priority(0, 5, U.decode_priority(0)[2] + 3)
-        assert U.encode_priority(0, 4, (1 << 24) - 1) < U.encode_priority(0, 5, 0)
-        assert U.encode_priority(1, 0, 0) > U.encode_priority(0, 1 << 19, 0)
+        # lexicographic order preserved (field widths from the module consts)
+        DB, OB = U._DEPTH_BITS, U._DOC_BITS
+        assert U.encode_priority(0, 4, (1 << OB) - 1) < U.encode_priority(0, 5, 0)
+        assert U.encode_priority(1, 0, 0) > U.encode_priority(0, (1 << DB) - 1, (1 << OB) - 1)
 
 
 class TestExtract:
@@ -187,8 +187,8 @@ class TestProperties:
     def test_priority_encoding_order_preserving(self):
         from hypothesis import given, settings, strategies as st
 
-        trip = st.tuples(st.integers(0, 2**19 - 1), st.integers(0, 2**20 - 1),
-                         st.integers(0, 2**24 - 1))
+        trip = st.tuples(st.integers(0, 2**19 - 1), st.integers(0, 2**14 - 1),
+                         st.integers(0, 2**30 - 1))
 
         @settings(max_examples=200, deadline=None)
         @given(trip, trip)
