@@ -20,7 +20,34 @@ import os
 import sys
 
 
+def _default_registry(workdir: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(workdir)), "lcr_jobs.json")
+
+
+def _job_hosts(fixture_dir: str) -> list[str]:
+    from .functions.urls import host_of_url
+    from .oracle import load_jobs
+
+    return sorted({host_of_url(j["homepage"]) for j in load_jobs(fixture_dir)})
+
+
 def cmd_crawl(args: argparse.Namespace) -> int:
+    from .state.registry import JobActiveError, JobRegistry
+
+    # admission (409 + 400 equivalents) runs BEFORE any Ray startup, like the
+    # reference resource validates before launching a crawler thread
+    job_id = args.job_id or os.path.basename(os.path.abspath(args.workdir))
+    registry = JobRegistry(args.registry or _default_registry(args.workdir))
+    try:
+        jobs_path = os.path.join(args.fixture, "jobs.json")
+        with open(jobs_path) as f:
+            job_specs = json.load(f)
+        registry.acquire(job_id, _job_hosts(args.fixture), args.workdir)
+    except (OSError, ValueError) as e:  # JobActiveError is a ValueError
+        code = 409 if isinstance(e, JobActiveError) else 400
+        print(json.dumps({"error": str(e), "http_equiv": code}), file=sys.stderr)
+        return 1
+
     import ray
 
     if not ray.is_initialized():
@@ -48,6 +75,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         )
         summary = pipe.run(resume=args.resume)
     except ValueError as e:  # job admission failure → HTTP-400 equivalent
+        registry.release(job_id, status="failed")
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 1
     finally:
@@ -55,17 +83,44 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         if pipe is not None:
             pipe.close()
         ray.shutdown()
+    registry.release(job_id, status="done")
+    summary["job_id"] = job_id
+    # disallowCookies is parsed per the job-spec schema
+    # (CrawlJobResource.java:62-67); the reference feeds it to browser prefs
+    # (BrowserCrawler.java:86). The parquet probe has no cookie state, so the
+    # flag is surfaced as job metadata rather than altering fetch behavior.
+    summary["disallow_cookies"] = {
+        j["homepage"]: bool(j.get("disallowCookies", False)) for j in job_specs
+    }
     print(json.dumps(summary))
     return 0
 
 
 def cmd_status(args: argparse.Namespace) -> int:
-    """Committed lineage of a job workdir (GET /jobs analogue)."""
-    out = []
+    """Committed lineage of a job (GET /jobs / GET /jobs/{id} analogue).
+
+    ``--job-id`` resolves the workdir through the registry
+    (``CrawlJobResource.java:46-51``); ``--workdir`` reads one directly.
+    """
+    entry = None
     wd = args.workdir
-    if not os.path.isdir(wd):
+    if args.job_id:
+        from .state.registry import JobRegistry
+
+        if not args.registry and not wd:
+            print(json.dumps({"error": "--job-id needs --registry (or --workdir)"}),
+                  file=sys.stderr)
+            return 1
+        reg_path = args.registry or _default_registry(wd)
+        entry = JobRegistry(reg_path).get(args.job_id)
+        if entry is None:
+            print(json.dumps({"error": f"no such job: {args.job_id}"}), file=sys.stderr)
+            return 1  # 404 equivalent
+        wd = entry["workdir"]
+    if not wd or not os.path.isdir(wd):
         print(json.dumps({"error": f"no such workdir: {wd}"}), file=sys.stderr)
         return 1
+    out = []
     for d in sorted(os.listdir(wd)):
         lp = os.path.join(wd, d, "lineage.json")
         if d.endswith(".tmp") or not os.path.exists(lp):
@@ -74,7 +129,11 @@ def cmd_status(args: argparse.Namespace) -> int:
             row = json.load(f)
         row.pop("lineage", None)
         out.append({"partition": d, **row})
-    print(json.dumps({"workdir": wd, "committed": len(out), "partitions": out}))
+    res = {"workdir": wd, "committed": len(out), "partitions": out}
+    if entry is not None:
+        res["job"] = {"job_id": args.job_id, "status": entry["status"],
+                      "active": entry["active"], "hosts": entry["hosts"]}
+    print(json.dumps(res))
     return 0
 
 
@@ -100,10 +159,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-fetch-leaves", action="store_true")
     c.add_argument("--enrich", action="store_true")
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--job-id", default=None,
+                   help="job identifier for the registry (default: workdir basename)")
+    c.add_argument("--registry", default=None,
+                   help="registry JSON path (default: <workdir parent>/lcr_jobs.json)")
     c.set_defaults(fn=cmd_crawl)
 
-    st = sub.add_parser("status", help="committed checkpoint lineage (GET /jobs analogue)")
-    st.add_argument("--workdir", required=True)
+    st = sub.add_parser("status", help="committed checkpoint lineage (GET /jobs[/id] analogue)")
+    st.add_argument("--workdir", default=None)
+    st.add_argument("--job-id", default=None)
+    st.add_argument("--registry", default=None)
     st.set_defaults(fn=cmd_status)
 
     g = sub.add_parser("gen", help="generate a synthetic CC-style corpus")
