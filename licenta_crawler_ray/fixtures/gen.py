@@ -56,7 +56,7 @@ _AUTHORS = (
 DEFAULT_NUM_BUCKETS = 16
 # bump when generator output changes for the same params (ensure_fixture
 # compares it, so stale /tmp fixtures regenerate)
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 
 def host_name(i: int) -> str:
@@ -153,6 +153,7 @@ def generate(
     jobs: list[dict] = []
     robots: dict[str, dict] = {}
     redirects: dict[str, str] = {}
+    flaky: dict[str, int] = {}
 
     for hi in range(num_hosts):
         host = host_name(hi)
@@ -210,6 +211,17 @@ def generate(
                     "lang": "ro" if hi % 3 != 2 else "en",
                 }
             )
+
+        # --- flaky urls (transient-failure counts → flaky.json): one product
+        # that recovers within the ≤3-timeout retry cap and, on every third
+        # host, one that exhausts it (permanent ``timeout`` error). Exercises
+        # the retry-count-as-data contract (``BrowserCrawler.java:47,197``).
+        existing = [j for j in range(n_products_total)
+                    if j not in missing and j not in private]
+        if existing:
+            flaky[base + product_path(existing[0])] = 1 + hi % 3  # recovers
+            if hi % 3 == 0 and len(existing) > 1:
+                flaky[base + product_path(existing[1])] = 5  # exhausts cap
 
         # --- robots + sitemap strategy for every ``sitemap_every``-th host
         advertises_sitemap = sitemap_every > 0 and hi % sitemap_every == sitemap_every - 1
@@ -287,6 +299,8 @@ def generate(
         json.dump(robots, f, indent=1)
     with open(os.path.join(out_dir, "redirects.json"), "w") as f:
         json.dump(redirects, f, indent=1)
+    with open(os.path.join(out_dir, "flaky.json"), "w") as f:
+        json.dump(flaky, f, indent=1)
     meta = {
         "gen_version": GEN_VERSION,
         "seed": seed,

@@ -196,8 +196,12 @@ class SitemapResult(NamedTuple):
     urls: list[str]  # child sitemap URLs when is_index, else page URLs
 
 
-_LOC_RE = re.compile(rb"<loc\s*>\s*(.*?)\s*</loc\s*>", re.I | re.S)
-_SITEMAPINDEX_RE = re.compile(rb"<\s*sitemapindex\b", re.I)
+# namespace-prefix tolerant (<sm:loc>, <ns1:sitemapindex> …): crawler-commons
+# parses the full sitemap protocol with namespaces (SitemapSaxCrawler.java:69-70);
+# real-world sitemaps routinely carry a prefix, so the scan accepts an
+# optional `prefix:` on both tags (the prefix must match within a tag pair)
+_LOC_RE = re.compile(rb"<(?:\w+:)?loc\s*>\s*(.*?)\s*</(?:\w+:)?loc\s*>", re.I | re.S)
+_SITEMAPINDEX_RE = re.compile(rb"<\s*(?:\w+:)?sitemapindex\b", re.I)
 _GZIP_MAGIC = b"\x1f\x8b"
 
 

@@ -69,6 +69,9 @@ SITEMAP_PAGE_CAP = 1 << 14
 SITEMAP_SLOT_CAP = 1 << 16
 
 
+MAX_TIMEOUT_RETRIES = 3  # reference retry cap (``BrowserCrawler.java:47,197``)
+
+
 @dataclass
 class VisitedRow:
     url: str
@@ -82,6 +85,7 @@ class VisitedRow:
     fetched: bool
     error: str
     text: str
+    retry_count: int = 0  # transient-failure retries spent (cap 3)
 
 
 @dataclass
@@ -118,6 +122,15 @@ def load_redirects(fixture_dir: str) -> dict[str, str]:
         return json.load(f)
 
 
+def load_flaky(fixture_dir: str) -> dict[str, int]:
+    """url → number of transient (timeout-class) failures before success."""
+    p = os.path.join(fixture_dir, "flaky.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {u: int(k) for u, k in json.load(f).items()}
+
+
 def resolve_redirects(url: str, redirects: dict[str, str], max_hops: int = 5) -> str:
     """≤5-hop redirect chase (``SitemapSaxCrawler.java:96-128``)."""
     from .functions.urls import absolutize
@@ -151,10 +164,24 @@ def crawl_oracle(
     """Serial reference crawl over every job in the fixture."""
     pages_raw = load_pages_map(fixture_dir)
     redirects = load_redirects(fixture_dir)
+    flaky = load_flaky(fixture_dir)
 
     class _Pages:
+        def fetch(self, url):
+            """(html | None, error, retry_count) under the ≤3-timeout cap:
+            k ≤ 3 transient failures are retried away (retry_count = k);
+            k > 3 exhausts the budget → permanent ``timeout`` error."""
+            u = resolve_redirects(url, redirects)
+            k = flaky.get(u, 0)
+            if k > MAX_TIMEOUT_RETRIES:
+                return None, "timeout", MAX_TIMEOUT_RETRIES
+            html = pages_raw.get(u)
+            if html is None:
+                return None, "fetch_miss", k
+            return html, "", k
+
         def get(self, url):
-            return pages_raw.get(resolve_redirects(url, redirects))
+            return self.fetch(url)[0]
 
     pages = _Pages()
     robots = load_robots(fixture_dir)
@@ -197,13 +224,14 @@ def _record_leaf(
     fetch_leaves: bool,
 ) -> None:
     if fetch_leaves:
-        html = pages.get(url)
+        html, err, retry = pages.fetch(url)
         if html is None:
             res.visited.append(VisitedRow(url, host, referer, page_type, seed_idx,
-                                          depth, doc_order, rank, False, "fetch_miss", ""))
+                                          depth, doc_order, rank, False, err, "", retry))
         else:
             res.visited.append(VisitedRow(url, host, referer, page_type, seed_idx,
-                                          depth, doc_order, rank, True, "", extract_text(html)))
+                                          depth, doc_order, rank, True, "",
+                                          extract_text(html), retry))
     else:
         res.visited.append(VisitedRow(url, host, referer, page_type, seed_idx,
                                       depth, doc_order, rank, False, "", ""))
@@ -222,11 +250,11 @@ def _crawl_chain(
     url, referer, depth = seed, "", 0
     while url is not None and depth < max_depth:
         step = depth
-        html = pages.get(url)
+        html, err, retry = pages.fetch(url)
         if html is None:
             res.visited.append(VisitedRow(url, host, referer, "shelf", seed_idx, depth,
                                           0, int(encode_priority(seed_idx, step, DOC_MAX)),
-                                          False, "fetch_miss", ""))
+                                          False, err, "", retry))
             return
         text = extract_text(html)
         links = extract_product_links(html, url)
@@ -242,7 +270,7 @@ def _crawl_chain(
                          k, int(encode_priority(seed_idx, step, k)), fetch_leaves)
         res.visited.append(VisitedRow(url, host, referer, "shelf", seed_idx, depth, 0,
                                       int(encode_priority(seed_idx, step, DOC_MAX)),
-                                      True, "", text))
+                                      True, "", text, retry))
         nxt = extract_next_page(html, url)
         if nxt is not None and (
             host_of_url(nxt) != host

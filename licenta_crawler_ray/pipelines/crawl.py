@@ -363,7 +363,8 @@ class CrawlPipeline:
                     .append_column("error", pa.array([""] * n, type=pa.string())) \
                     .append_column("text", pa.array([""] * n, type=pa.string())) \
                     .append_column("retrieved_ts",
-                                   pa.array([None] * n, type=pa.timestamp("us")))
+                                   pa.array([None] * n, type=pa.timestamp("us"))) \
+                    .append_column("retry_count", pa.array([0] * n, type=pa.int32()))
                 if self.enrich:
                     from ..functions.enrich import null_enrichment
 

@@ -50,6 +50,9 @@ VISITED_SCHEMA = pa.schema(
         pa.field("error", pa.string()),  # fetch-miss / robots-denied reason, '' = ok
         pa.field("text", pa.string()),  # extracted text for fetched pages, '' otherwise
         pa.field("retrieved_ts", pa.timestamp("us")),
+        # transient-failure retries spent (≤3, BrowserCrawler.java:47,197);
+        # error='timeout' when the budget was exhausted
+        pa.field("retry_count", pa.int32()),
     ]
 )
 

@@ -119,7 +119,8 @@ def crawl_bucket_local(
                 .append_column("fetched", pa.array([False] * n)) \
                 .append_column("error", pa.array([""] * n, type=pa.string())) \
                 .append_column("text", pa.array([""] * n, type=pa.string())) \
-                .append_column("retrieved_ts", pa.array([None] * n, type=pa.timestamp("us")))
+                .append_column("retrieved_ts", pa.array([None] * n, type=pa.timestamp("us"))) \
+                .append_column("retry_count", pa.array([0] * n, type=pa.int32()))
             # align enrichment columns (null-filled) so every part of this
             # bucket shares one schema
             for name in visited.column_names[rec.num_columns:]:

@@ -47,6 +47,13 @@ class Fetcher:
     DEFAULT_CACHE_BYTES = 256 << 20
 
     MAX_REDIRECTS = 5  # mirrors the reference cap (SitemapSaxCrawler.java:102)
+    # retry budget for transient (timeout-class) failures, as data: the
+    # reference retries a page up to 3 times on timeout before giving up
+    # (``BrowserCrawler.java:47,197``); the sandbox's deterministic stand-in
+    # is ``flaky.json`` (url → number of transient failures before success).
+    # A url with k ≤ cap succeeds with ``retry_count = k``; k > cap records
+    # a ``timeout`` error with ``retry_count = cap``.
+    MAX_TIMEOUT_RETRIES = 3
 
     def __init__(self, pages_dir: str, num_buckets: int, cache_bytes: int | None = None):
         import json
@@ -69,6 +76,11 @@ class Fetcher:
         if os.path.exists(rpath):
             with open(rpath) as f:
                 self.redirects = json.load(f)
+        fpath = os.path.join(os.path.dirname(pages_dir.rstrip("/")), "flaky.json")
+        self.flaky: dict[str, int] = {}
+        if os.path.exists(fpath):
+            with open(fpath) as f:
+                self.flaky = {u: int(k) for u, k in json.load(f).items()}
 
     def resolve_redirects(self, url: str) -> str:
         """Chase the redirect map ≤ MAX_REDIRECTS hops (relative targets are
@@ -135,20 +147,26 @@ class Fetcher:
         distinct = sorted(set(bucket_col))
         if self.redirects:
             urls = [self.resolve_redirects(u) for u in urls]
+        retries, dead = self._flaky_info(urls)
         if len(distinct) == 1:
             # hot path (blocks are single-bucket by construction): zero-copy
             # null-aware take — html bytes never pass through Python objects
             idx, t = self._lookup(int(distinct[0]), urls)
-            indices = pa.array([idx.get(u) for u in urls], type=pa.int64())
+            raw = [idx.get(u) for u in urls]
+            indices = pa.array(
+                [None if dead[i] else j for i, j in enumerate(raw)], type=pa.int64()
+            )
             html = t.column("html").take(indices).combine_chunks()
             ts = t.column("warc_ts").take(indices).combine_chunks()
             errs = pa.array(
-                ["" if j is not None else "fetch_miss" for j in indices.to_pylist()],
+                ["timeout" if dead[i] else ("" if j is not None else "fetch_miss")
+                 for i, j in enumerate(raw)],
                 type=pa.string(),
             )
             return batch.append_column("html", html) \
                         .append_column("retrieved_ts", ts) \
-                        .append_column("fetch_error", errs)
+                        .append_column("fetch_error", errs) \
+                        .append_column("retry_count", pa.array(retries, type=pa.int32()))
         # general path: probe per bucket (ray_data engine batches may span)
         htmls: list = [None] * n
         tss: list = [None] * n
@@ -161,6 +179,9 @@ class Fetcher:
             for i, (u, ub) in enumerate(zip(urls, bucket_col)):
                 if ub != b:
                     continue
+                if dead[i]:
+                    errs_l[i] = "timeout"
+                    continue
                 j = idx.get(u)
                 if j is not None:
                     htmls[i] = html_col[j].as_py()
@@ -168,13 +189,31 @@ class Fetcher:
                     errs_l[i] = ""
         return batch.append_column("html", pa.array(htmls, type=pa.binary())) \
                     .append_column("retrieved_ts", pa.array(tss, type=pa.timestamp("us"))) \
-                    .append_column("fetch_error", pa.array(errs_l, type=pa.string()))
+                    .append_column("fetch_error", pa.array(errs_l, type=pa.string())) \
+                    .append_column("retry_count", pa.array(retries, type=pa.int32()))
+
+    def _flaky_info(self, urls: list[str]) -> tuple[list[int], list[bool]]:
+        """(retry_count, retries-exhausted) per url under the ≤3-timeout cap."""
+        n = len(urls)
+        retries = [0] * n
+        dead = [False] * n
+        if self.flaky:
+            for i, u in enumerate(urls):
+                k = self.flaky.get(u)
+                if k:
+                    if k <= self.MAX_TIMEOUT_RETRIES:
+                        retries[i] = k
+                    else:
+                        retries[i] = self.MAX_TIMEOUT_RETRIES
+                        dead[i] = True
+        return retries, dead
 
     @staticmethod
     def _empty_like(batch: pa.Table) -> pa.Table:
         return batch.append_column("html", pa.array([], type=pa.binary())) \
                     .append_column("retrieved_ts", pa.array([], type=pa.timestamp("us"))) \
-                    .append_column("fetch_error", pa.array([], type=pa.string()))
+                    .append_column("fetch_error", pa.array([], type=pa.string())) \
+                    .append_column("retry_count", pa.array([], type=pa.int32()))
 
 
 def add_host_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:

@@ -50,6 +50,7 @@ _OUT_FIELDS = [
     ("error", pa.string()),
     ("text", pa.string()),
     ("retrieved_ts", pa.timestamp("us")),
+    ("retry_count", pa.int32()),  # transient-failure retries spent (cap 3)
 ]
 OUT_SCHEMA = pa.schema([pa.field(n, t) for n, t in _OUT_FIELDS])
 
@@ -130,13 +131,14 @@ class ProcessPage:
     def _products_table(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         htmls = batch.column("html").to_pylist()
-        miss = [bool(e) for e in batch.column("fetch_error").to_pylist()]
+        ferr = batch.column("fetch_error").to_pylist()
+        miss = [bool(e) for e in ferr]
         texts = pa.array(
             ["" if (m or h is None) else extract_text(h) for m, h in zip(miss, htmls)],
             type=pa.string(),
         )
         fetched = pa.array([not m for m in miss])
-        errors = pa.array(["fetch_miss" if m else "" for m in miss], type=pa.string())
+        errors = pa.array(ferr, type=pa.string())  # '' | fetch_miss | timeout
         ts = pa.compute.if_else(
             pa.array(miss), pa.nulls(n, pa.timestamp("us")), batch.column("retrieved_ts")
         )
@@ -155,6 +157,7 @@ class ProcessPage:
                 "error": errors,
                 "text": texts,
                 "retrieved_ts": ts,
+                "retry_count": batch.column("retry_count"),
             }
         ).cast(OUT_SCHEMA)
 
@@ -162,7 +165,7 @@ class ProcessPage:
         cols: dict[str, list] = {n: [] for n, _ in _OUT_FIELDS}
 
         def emit(kind, url, host, referer, page_type, seed_idx, depth, doc_order,
-                 priority, fetched, error, text, ts):
+                 priority, fetched, error, text, ts, retry=0):
             cols["kind"].append(kind)
             cols["url"].append(url)
             cols["host"].append(host)
@@ -176,6 +179,7 @@ class ProcessPage:
             cols["error"].append(error)
             cols["text"].append(text)
             cols["retrieved_ts"].append(ts)
+            cols["retry_count"].append(retry)
 
         rows = batch.to_pylist()
         for r in rows:
@@ -185,6 +189,7 @@ class ProcessPage:
             miss = bool(r["fetch_error"])
             html = r["html"]
             ts = r["retrieved_ts"]
+            retry = int(r.get("retry_count") or 0)
 
             if ptype == "shelf":
                 step = depth
@@ -192,12 +197,12 @@ class ProcessPage:
                     # chain ends; recorded with the error as data (SURVEY §4)
                     emit("visited", url, host, r["referer"], "shelf", seed_idx,
                          depth, 0, int(encode_priority(seed_idx, step, DOC_MAX)),
-                         False, "fetch_miss", "", None)
+                         False, r["fetch_error"], "", None, retry)
                     continue
                 text = extract_text(html)
                 emit("visited", url, host, r["referer"], "shelf", seed_idx, depth,
                      0, int(encode_priority(seed_idx, step, DOC_MAX)), True, "",
-                     text, ts)
+                     text, ts, retry)
                 for k, link in enumerate(extract_product_links(html, url)):
                     if host_of_url(link) != host:
                         continue
@@ -217,11 +222,11 @@ class ProcessPage:
                 if miss:
                     emit("visited", url, host, r["referer"], "product", seed_idx,
                          depth, int(r["doc_order"]), int(r["priority"]),
-                         False, "fetch_miss", "", None)
+                         False, r["fetch_error"], "", None, retry)
                 else:
                     emit("visited", url, host, r["referer"], "product", seed_idx,
                          depth, int(r["doc_order"]), int(r["priority"]),
-                         True, "", extract_text(html), ts)
+                         True, "", extract_text(html), ts, retry)
 
             elif ptype == "sitemap":
                 if miss:

@@ -40,6 +40,7 @@ def _compare(fixture_dir, workdir, fetch_leaves, host_budget=64, **kw):
         assert g["doc_order"] == e.doc_order
         assert g["fetched"] == e.fetched, (g["url"], g["error"], e.error)
         assert g["error"] == e.error
+        assert g["retry_count"] == e.retry_count, g["url"]
         assert g["text"] == e.text, f"text mismatch for {g['url']}"  # byte-identical
 
     # URL-seen set equality: visited urls ∪ frontier-admitted == oracle seen
@@ -67,6 +68,22 @@ def test_parity_budget_throttle(tiny_fixture, workdir):
 
 def test_parity_small(small_fixture, workdir):
     _compare(small_fixture, workdir, fetch_leaves=True)
+
+
+def test_retry_caps_as_data(small_fixture, workdir):
+    """flaky.json urls: k ≤ 3 transient failures succeed with retry_count=k;
+    k > 3 exhausts the reference's retry cap → error='timeout', retries=3."""
+    pipe = CrawlPipeline(small_fixture, workdir, fetch_leaves=True)
+    pipe.run()
+    t = pipe.visited_table()
+    pipe.close()
+    rows = t.to_pylist()
+    recovered = [r for r in rows if r["fetched"] and r["retry_count"] > 0]
+    timed_out = [r for r in rows if r["error"] == "timeout"]
+    assert recovered, "fixture should contain recovering flaky urls"
+    assert all(1 <= r["retry_count"] <= 3 for r in recovered)
+    assert timed_out, "fixture should contain retry-exhausted urls"
+    assert all(r["retry_count"] == 3 and not r["fetched"] for r in timed_out)
 
 
 @pytest.fixture(scope="session")

@@ -105,6 +105,23 @@ class TestExtract:
         assert res2.is_index and res2.urls == ["http://h.com/s1.xml"]
         assert maybe_gunzip(xml) == xml
 
+    def test_sitemap_namespace_prefixes(self):
+        ns = (
+            b'<?xml version="1.0"?>'
+            b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<sm:url><sm:loc>http://h.com/a</sm:loc>"
+            b"<sm:lastmod>2018-06-01</sm:lastmod></sm:url></sm:urlset>"
+        )
+        res = parse_sitemap(ns)
+        assert not res.is_index and res.urls == ["http://h.com/a"]
+        nsidx = (
+            b'<ns1:sitemapindex xmlns:ns1="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<ns1:sitemap><ns1:loc>http://h.com/s.xml</ns1:loc></ns1:sitemap>"
+            b"</ns1:sitemapindex>"
+        )
+        res2 = parse_sitemap(nsidx)
+        assert res2.is_index and res2.urls == ["http://h.com/s.xml"]
+
 
 class TestCuckoo:
     def test_no_false_negatives_under_overload(self):
@@ -167,8 +184,9 @@ class TestFetcherCache:
         assert cached.equals(probed)
         assert probed_f._cache_nbytes <= 1
         assert len(probed_f._cache) == 0
-        miss = [e for e in probed.column("fetch_error").to_pylist() if e]
-        assert len(miss) == 3  # the absent urls and only those
+        errs = probed.column("fetch_error").to_pylist()
+        # the 3 absent urls miss; sampled urls may add deterministic timeouts
+        assert errs.count("fetch_miss") == 3
 
 
 class TestRobots:
