@@ -92,8 +92,6 @@ class TextEnricher:
         from the word list / a Counter over it, avoiding repeated regex
         scans of the full text (memory-bandwidth dominated at high worker
         counts)."""
-        from collections import Counter
-
         n = len(texts)
         n_tokens = np.empty(n, dtype=np.int64)
         n_chars = np.empty(n, dtype=np.int64)
@@ -108,17 +106,22 @@ class TextEnricher:
             wh = dict(zip(distinct, hash_strings(pa.array(distinct, type=pa.string()))))
         else:
             wh = {}
-        stop_lower = {
-            l: [w for w in ws] for l, ws in self.LANG_STOPWORDS.items()
-        }
+        all_stop = frozenset(w for ws in self.LANG_STOPWORDS.values() for w in ws)
         for i, t in enumerate(texts):
             words = word_lists[i]
             n_tokens[i] = len(words)
             n_chars[i] = len(t)
             n_punct[i] = sum(t.count(c) for c in ".,!?;:")
-            counts = Counter(w.lower() for w in words)
+            # stopword hit counts: lower the whole text once (C-speed) and
+            # count only stopword tokens via one set-gated pass — same counts
+            # as a full Counter over lowered words, without hashing every word
+            counts: dict[str, int] = {}
+            for w in t.lower().split():
+                if w in all_stop:
+                    counts[w] = counts.get(w, 0) + 1
             scores = [
-                sum(counts[w] for w in stop_lower[l]) for l in self.LANG_ORDER
+                sum(counts.get(w, 0) for w in self.LANG_STOPWORDS[l])
+                for l in self.LANG_ORDER
             ]
             best = max(scores) if scores else 0
             lang.append("und" if best == 0 else self.LANG_ORDER[scores.index(best)])
