@@ -97,6 +97,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as e
 
     qs = e.queries()
+    # one untimed warmup query: the FIRST Dataset execution of a session pays
+    # worker-process startup + import (~4 s measured) that belongs to the
+    # session, not the query — same steady-state protocol as the headline
+    qs["part_brand_stats"](sf_dir)
     out = {}
     for name in QUERY_NAMES:
         t0 = time.perf_counter()

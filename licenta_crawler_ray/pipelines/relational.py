@@ -82,14 +82,24 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Revenue top-k per customer: high-cardinality key → direct groupby;
-    the tiny top-k result probes the broadcast-sized customer dim driver-side."""
+    """Revenue top-k per customer. Even for the high-cardinality custkey a
+    per-batch partial aggregate pays off (≈10 orders/customer → 10× fewer
+    shuffle rows); the tiny top-k result then probes the customer dim via a
+    pruned parquet row filter."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["o_custkey", "revenue", "n_orders"])
+
     agg = (
         _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
         .groupby("o_custkey")
         .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            rd.aggregate.Count("o_totalprice", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
         )
         .to_pandas()
     )

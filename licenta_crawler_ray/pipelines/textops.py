@@ -577,6 +577,16 @@ class MinHasher:
         for r in range(ROWS_PER_BAND):
             bh = bh * np.uint64(0x100000001B3) + bands[:, :, r]
         rows["band_hash"] = bh.reshape(-1).astype("int64")
+        # prefix hash of bands 0..k-1: lets bucket k emit a pair only when
+        # the docs did NOT already collide in an earlier band (emit-at-first-
+        # colliding-band). Near-identical docs collide in ALL bands, so
+        # without this every such pair ships ~NUM_BANDS times into the
+        # verify shuffle; with it, once (duplicate-drop misses only on a
+        # 2^-64 prefix-hash collision, which costs a duplicate, not a pair).
+        pre = np.zeros((len(df), NUM_BANDS), dtype=np.uint64)
+        for k in range(1, NUM_BANDS):
+            pre[:, k] = pre[:, k - 1] * np.uint64(0x9E3779B97F4A7C15) + bh[:, k - 1]
+        rows["prefix_hash"] = pre.reshape(-1).astype("int64")
         # hash-partition key: ONE groupby over 64 partitions instead of one
         # Ray group per (band, hash) bucket (per-group overhead dominates)
         rows["bucket"] = (
@@ -591,11 +601,18 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     several of this partition's buckets ships once; cross-partition
     duplicates dedup in the verify join, where they co-locate by doc_a)."""
     outs = []
-    for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.unique(grp["doc_id"].to_numpy())
-        if len(ids) < 2:
+    for (band_id, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
+        u = grp.drop_duplicates("doc_id")
+        if len(u) < 2:
             continue
+        ids = u["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        pre = u["prefix_hash"].to_numpy()[order]
         a, b = np.triu_indices(len(ids), k=1)
+        if band_id != 0:  # emit-at-first-colliding-band (see MinHasher)
+            keep = pre[a] != pre[b]
+            a, b = a[keep], b[keep]
         outs.append(np.stack([ids[a], ids[b]], axis=1))
     if not outs:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
