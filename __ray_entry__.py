@@ -62,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": tx.minhash_lsh_pairs,          # approx; rows-only
         "simhash_pairs": tx.simhash_pairs,                  # approx; rows-only
         "doc_fingerprints": tx.doc_fingerprints,            # rows-only
+        "neardup_dedup": tx.neardup_dedup,                  # SQL-checked (recursive CC)
+        "neardup_dedup_minhash": tx.neardup_dedup_minhash,  # approx; rows-only
+        # --- corpus statistics
+        "token_hist": tx.token_hist,                        # SQL-checked
+        "top_terms_per_lang": tx.top_terms_per_lang,        # SQL-checked
         # --- similarity search
         "embedding_knn": sim.embedding_knn,                 # SQL-checked
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked
@@ -188,6 +193,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
                   (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
             ORDER BY 1, 2
+        """,
+        "neardup_dedup": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ws
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+                    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(u, v) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+            SELECT u AS doc_id, min(v) AS group_id FROM reach
+            GROUP BY u ORDER BY doc_id
+        """,
+        "token_hist": r"""
+            SELECT (len(regexp_extract_all(text, '\S+')) // 50) * 50 AS bucket_lo,
+                   count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "top_terms_per_lang": r"""
+            WITH w AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents),
+            c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+            r AS (SELECT lang, word, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, word) AS rank
+                  FROM c)
+            SELECT lang, word, n, rank FROM r WHERE rank <= 5
+            ORDER BY lang, rank
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -33,7 +33,8 @@ QUERY_NAMES = [
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_pairs", "doc_fingerprints", "embedding_knn",
+    "simhash_pairs", "doc_fingerprints", "neardup_dedup_minhash",
+    "token_hist", "top_terms_per_lang", "embedding_knn",
     "embedding_neardup_pairs", "embedding_knn_ivf",
 ]
 

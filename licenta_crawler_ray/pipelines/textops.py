@@ -641,6 +641,110 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup DEDUP — pair graph → duplicate clusters → one keeper per cluster
+# ---------------------------------------------------------------------------
+def _doc_ids(sf_dir: str) -> np.ndarray:
+    return (
+        _docs(sf_dir, columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    )
+
+
+def neardup_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Duplicate-cluster assignment: (doc_id, group_id) where ``group_id``
+    is the min doc id reachable through near-dup edges (Jaccard ≥
+    threshold) — first-seen-wins at the CLUSTER level, the step an LLM
+    corpus dedup actually applies after pair finding.
+
+    Uses the exact pair operator (SQL-checkable end-to-end vs a DuckDB
+    recursive CTE); clustering runs as distributed min-label propagation
+    (:func:`licenta_crawler_ray.pipelines.graph.connected_components`) —
+    the pair list never has to fit on the driver.
+    """
+    from .graph import connected_components
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold)
+    return connected_components(pairs, _doc_ids(sf_dir))
+
+
+def neardup_dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """The 10^10-scale form of :func:`neardup_dedup`: clusters built from
+    MinHash+LSH verified pairs (recall bounded by the banding S-curve; no
+    false-positive edges, so groups can only split, never merge wrongly)."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+    return connected_components(pairs, _doc_ids(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (SQL-checkable)
+# ---------------------------------------------------------------------------
+TOKEN_HIST_BUCKET = 50
+
+
+def token_hist(sf_dir: str) -> pd.DataFrame:
+    """Histogram of per-doc whitespace-token counts in buckets of 50 —
+    the length-distribution audit every corpus build runs. Partial count
+    per batch; the shuffle moves one row per (batch, bucket)."""
+    ws = re.compile(r"\S+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo = (df["text"].str.count(ws) // TOKEN_HIST_BUCKET) * TOKEN_HIST_BUCKET
+        out = lo.value_counts().rename_axis("bucket_lo").reset_index(name="n")
+        return out
+
+    out = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("bucket_lo")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["bucket_lo"] = out["bucket_lo"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket_lo").reset_index(drop=True)
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k most frequent whitespace tokens per language tag.
+
+    Explode → per-batch (lang, word) partial counts (the combiner keeps the
+    shuffle at one row per batch-distinct term) → global sum → per-lang
+    top-k (one group per LANGUAGE, each bounded by the vocabulary).
+    Tie-break: higher count first, then lexicographic word.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        langs, words = [], []
+        for lang, text in zip(df["lang"], df["text"]):
+            toks = text.split()
+            words.extend(toks)
+            langs.extend([lang] * len(toks))
+        c = pd.DataFrame({"lang": langs, "word": words}).groupby(
+            ["lang", "word"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return c
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "word", "n", "rank"]]
+
+    out = (
+        _docs(sf_dir, columns=["lang", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup — Manku/Jain/Sarma rotation-block bucketing (WWW'07)
 # ---------------------------------------------------------------------------
 class SimHasher:

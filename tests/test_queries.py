@@ -35,8 +35,25 @@ SQL_CHECKED = [
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs", "neardup_dedup", "token_hist",
+    "top_terms_per_lang",
 ]
+
+
+def test_neardup_dedup_minhash_matches_exact():
+    """Approx clustering on the test corpus: no FP edges + ≥95% recall means
+    groups match the exact clustering almost everywhere; assert exact-group
+    agreement on the small corpus (banding recall is ~0.99 here)."""
+    from licenta_crawler_ray.pipelines.textops import (
+        neardup_dedup, neardup_dedup_minhash,
+    )
+
+    exact = neardup_dedup(SF_DIR)
+    approx = neardup_dedup_minhash(SF_DIR)
+    assert len(exact) == len(approx)
+    # group structure comparison: proportion of docs with identical group id
+    agree = (exact["group_id"].to_numpy() == approx["group_id"].to_numpy()).mean()
+    assert agree >= 0.95
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
