@@ -84,27 +84,37 @@ def media_stats(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..stages.multimodal import AudioFrameSample, ImageDecode, synth_media_table
+    from ..stages.multimodal import (
+        AudioFrameSample, ImageDecode, VideoFrameSample, synth_media_table,
+    )
 
     n = 200 if "0.01" in sf_dir or "0.1" in sf_dir else 50
     ds = rd.from_arrow(synth_media_table(n))
+
+    def only(mt):
+        return lambda b: b.filter(pc.equal(b.column("media_type"), mt))
+
     imgs = (
-        ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "image")),
-                       batch_format="pyarrow")
+        ds.map_batches(only("image"), batch_format="pyarrow")
         .map_batches(ImageDecode, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
         .to_pandas()
     )
     auds = (
-        ds.map_batches(lambda b: b.filter(pc.equal(b.column("media_type"), "audio")),
-                       batch_format="pyarrow")
+        ds.map_batches(only("audio"), batch_format="pyarrow")
         .map_batches(AudioFrameSample, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
         .to_pandas()
     )
+    vids = (
+        ds.map_batches(only("video"), batch_format="pyarrow")
+        .map_batches(VideoFrameSample, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .to_pandas()
+    )
     return pd.DataFrame({
-        "media_type": ["audio", "image"],
-        "n": [len(auds), len(imgs)],
+        "media_type": ["audio", "image", "video"],
+        "n": [len(auds), len(imgs), len(vids)],
         "total_px_or_frames": [
             int(auds["n_frames"].sum()),
             int((imgs["width"] * imgs["height"]).sum()),
+            int(vids["n_frames"].sum()),
         ],
     })

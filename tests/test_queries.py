@@ -143,6 +143,8 @@ def test_multimodal_plumbing():
         AudioFrameSample, ImageDecode, synth_media_table,
     )
 
+    from licenta_crawler_ray.stages.multimodal import VideoFrameSample
+
     t = synth_media_table(20)
     ds = rd.from_arrow(t)
     imgs = (
@@ -152,7 +154,7 @@ def test_multimodal_plumbing():
         .map_batches(ImageDecode, batch_format="pyarrow", batch_size=4, concurrency=2)
         .to_pandas()
     )
-    assert len(imgs) == 10
+    assert len(imgs) == 7  # 20 ids: i%3==2 → video, else even → image
     assert {"media_id", "width", "height", "mean_pixel"} <= set(imgs.columns)
     assert (imgs["width"] > 0).all()
     aud = (
@@ -162,7 +164,44 @@ def test_multimodal_plumbing():
         .map_batches(AudioFrameSample, batch_format="pyarrow", batch_size=4, concurrency=2)
         .to_pandas()
     )
-    assert len(aud) == 10 and (aud["n_frames"] > 0).all()
+    assert len(aud) == 7 and (aud["n_frames"] > 0).all()
+    vid = (
+        ds.map_batches(lambda b: b.filter(
+            __import__("pyarrow").compute.equal(b.column("media_type"), "video")),
+            batch_format="pyarrow")
+        .map_batches(VideoFrameSample, batch_format="pyarrow", batch_size=4, concurrency=2)
+        .to_pandas()
+    )
+    assert len(vid) == 6 and (vid["n_frames"] > 0).all()
+    assert all(len(m) >= 1 for m in vid["sampled_frame_means"])
+
+
+def test_partitioned_sink_resume(tmp_path):
+    """Atomic per-partition commit + resume skip; counts match the source."""
+    import duckdb
+    import pyarrow.dataset as pads
+
+    from licenta_crawler_ray.pipelines.sinks import write_corpus_partitioned
+
+    out = str(tmp_path / "corpus")
+    s1 = write_corpus_partitioned(SF_DIR, out)
+    assert s1["written"] and not s1["skipped"]
+    # re-run: everything committed → all skipped
+    s2 = write_corpus_partitioned(SF_DIR, out)
+    assert not s2["written"] and set(s2["skipped"]) == set(s1["written"])
+    # knock out one partition's marker → only it rewrites
+    victim = s1["written"][0]
+    os.remove(os.path.join(out, f"lang={victim}", "_SUCCESS"))
+    s3 = write_corpus_partitioned(SF_DIR, out)
+    assert s3["written"] == [victim]
+    # per-partition counts equal the source's group counts
+    con = duckdb.connect()
+    exp = dict(con.execute(
+        f"SELECT lang, count(*) FROM read_parquet('{SF_DIR}/documents.parquet') GROUP BY 1"
+    ).fetchall())
+    for lang, n in exp.items():
+        t = pads.dataset(os.path.join(out, f"lang={lang}")).to_table()
+        assert t.num_rows == n
 
 
 def test_multimodal_real_format_raises():
