@@ -1,8 +1,9 @@
 """Similarity search over the ``embeddings`` table (``list<float>`` column).
 
-- :func:`embedding_knn` — brute-force cosine top-k: the query matrix is
-  broadcast once (``ray.put``), each batch does one numpy matmul, partial
-  top-k rows flow to a tiny final reduction. SQL-checkable via DuckDB
+- :func:`embedding_knn` — brute-force cosine top-k: the (small) query
+  matrix rides inside the task callable (serialized once into the task
+  spec), each batch does one numpy matmul, partial top-k rows flow to a
+  tiny final reduction. SQL-checkable via DuckDB
   ``list_cosine_similarity``.
 - :func:`embedding_neardup_pairs` — all pairs above a cosine threshold
   (embedding near-dup dedup), IVF-bucketed: vectors multi-assign to their
@@ -57,13 +58,17 @@ def _query_frame(sf_dir: str, num_queries: int) -> pd.DataFrame:
 
 
 class KnnScorer:
-    """Per-batch cosine scores against the broadcast query matrix; emits each
-    batch's top-k candidate rows per query (partial top-k combiner)."""
+    """Per-batch cosine scores against the query matrix; emits each batch's
+    top-k candidate rows per query (partial top-k combiner).
 
-    def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref)  # once per actor
-        self.qids = q["ids"]
-        self.qnorm = _normalize(q["matrix"])
+    The query matrix is SMALL (Q × dim), so the instance itself is the
+    broadcast: Ray Data serializes the callable once into the task spec —
+    cheaper than an actor pool (~1-2 s spin-up per execution, measured) and
+    cheaper than ray.put indirection for kilobyte state."""
+
+    def __init__(self, qids, qmatrix, k: int):
+        self.qids = qids
+        self.qnorm = _normalize(qmatrix)
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -108,13 +113,10 @@ def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFram
     this corpus; the rank column is hash-compared against DuckDB).
     """
     qdf = _query_frame(sf_dir, num_queries)
-    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": _to_matrix(qdf)})
+    scorer = KnnScorer(qdf["vec_id"].to_numpy(), _to_matrix(qdf), k)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        KnnScorer,
-        fn_constructor_args=(queries_ref, k),
-        batch_format="pandas",
-        concurrency=_pool(),
+        scorer, batch_format="pandas"
     ).to_pandas()
     return _rank_partials(partials, k)
 
@@ -157,22 +159,17 @@ def embedding_neardup_pairs(
     recall risk is the standard IVF boundary case, tunable via ``assign``.
     Nothing materializes on the driver and no n×n matrix is formed.
     """
-    cent_ref = ray.put(_ivf_centroids(sf_dir, num_centroids))
+    cent = _ivf_centroids(sf_dir, num_centroids)
 
-    class AssignBuckets:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_to_matrix(df))
-            R = min(assign, self.cent.shape[0])
-            top = np.argpartition(-(m @ self.cent.T), R - 1, axis=1)[:, :R]
-            n = len(df)
-            return pd.DataFrame({
-                "bucket": top.reshape(-1).astype(np.int32),
-                "vec_id": np.repeat(df["vec_id"].to_numpy(), R),
-                "embedding": df["embedding"].to_numpy().repeat(R),
-            })
+    def assign_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(df))
+        R = min(assign, cent.shape[0])
+        top = np.argpartition(-(m @ cent.T), R - 1, axis=1)[:, :R]
+        return pd.DataFrame({
+            "bucket": top.reshape(-1).astype(np.int32),
+            "vec_id": np.repeat(df["vec_id"].to_numpy(), R),
+            "embedding": df["embedding"].to_numpy().repeat(R),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates("vec_id")
@@ -189,7 +186,7 @@ def embedding_neardup_pairs(
 
     out = (
         _emb(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(AssignBuckets, batch_format="pandas", concurrency=_pool())
+        .map_batches(assign_buckets, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
@@ -245,7 +242,6 @@ def embedding_knn_ivf(
     matches the exact variant.
     """
     cent = _ivf_centroids(sf_dir, num_centroids, iters=iters)
-    cent_ref = ray.put(cent)
 
     qdf = _query_frame(sf_dir, num_queries)
     qm = _normalize(_to_matrix(qdf))
@@ -254,15 +250,15 @@ def embedding_knn_ivf(
     for qi, qid in enumerate(qdf["vec_id"]):
         for b in probe_buckets[qi]:
             wanted.setdefault(int(b), []).append(int(qid))
-    wanted_ref = ray.put(wanted)
-    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "matrix": qm})
 
     class IvfScorer:
+        """Small state (centroids + query matrix + probe map) → the instance
+        is the broadcast; runs as tasks, not an actor pool."""
+
         def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.wanted = ray.get(wanted_ref)
-            q = ray.get(queries_ref)
-            self.qids, self.qm = q["ids"], q["matrix"]
+            self.cent = cent
+            self.wanted = wanted
+            self.qids, self.qm = qdf["vec_id"].to_numpy(), qm
             self.qpos = {int(v): i for i, v in enumerate(self.qids)}
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -291,6 +287,6 @@ def embedding_knn_ivf(
             return pd.concat(frames, ignore_index=True)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        IvfScorer, batch_format="pandas", concurrency=_pool()
+        IvfScorer(), batch_format="pandas"
     ).to_pandas()
     return _rank_partials(partials, k)

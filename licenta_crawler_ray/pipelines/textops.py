@@ -50,6 +50,29 @@ def _pool() -> tuple[int, int]:
     return (1, max(2, cpus - 2))
 
 
+# Stage-dispatch policy (measured): an ActorPoolMapOperator pays ~1-2 s of
+# pool spin-up PER Dataset execution. That's the right trade only when
+# per-actor setup is genuinely expensive (corpus handles, models, big
+# broadcasts — e.g. the crawl's FetchProcess pool). Stages whose state is a
+# few compiled regexes / permutation tables run as plain TASKS with a
+# per-worker-process instance cache — same compile-once behavior, no pool
+# startup, and the task scheduler scales them to the session automatically.
+_STAGE_CACHE: dict = {}
+
+
+def cached_stage(cls, *args):
+    """A task-callable that builds ``cls(*args)`` once per worker process."""
+    key = (cls.__module__, cls.__qualname__, args)
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE[key] = cls(*args)
+        return inst(batch)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Language ID (stopword-count heuristic) — frozen spec shared with SQL oracle
 # ---------------------------------------------------------------------------
@@ -83,7 +106,7 @@ class LangId:
 def lang_id(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(LangId, batch_format="pandas", concurrency=_pool())
+        .map_batches(cached_stage(LangId), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -128,7 +151,7 @@ class TokenCount:
 def token_counts(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(TokenCount, batch_format="pandas", concurrency=_pool())
+        .map_batches(cached_stage(TokenCount), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -162,7 +185,7 @@ class QualityScore:
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(QualityScore, batch_format="pandas", concurrency=_pool())
+        .map_batches(cached_stage(QualityScore), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -635,7 +658,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     at J=0.8 in tests.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=_pool())
+    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
     cand = bands.groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs(cand, sf_dir, threshold)
 
@@ -842,7 +865,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """
     assert max_hamming < _SIMHASH_BLOCKS  # pigeonhole premise of the bucketing
     sig = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", concurrency=_pool()
+        cached_stage(SimHasher), batch_format="pandas"
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -879,7 +902,7 @@ def simhash_pairs_exact(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """O(n²) blocked hamming scan — the test oracle for the bucketed form."""
     sig = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(SimHasher, batch_format="pandas", concurrency=_pool())
+        .map_batches(cached_stage(SimHasher), batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
     )
@@ -950,7 +973,7 @@ class Fingerprinter:
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(Fingerprinter, batch_format="pandas", concurrency=_pool())
+        .map_batches(cached_stage(Fingerprinter), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
