@@ -382,7 +382,7 @@ def _make_cell_scorer(threshold: float):
     return _score
 
 
-def _verify_pairs(cand: rd.Dataset, sf_dir: str, threshold: float) -> pd.DataFrame:
+def _verify_pairs_ds(cand: rd.Dataset, sf_dir: str, threshold: float) -> rd.Dataset:
     """Distributed exact-Jaccard verification of candidate pairs.
 
     Fragment-replicate grid join (see ``_GRID_SIDE``): the candidate stream
@@ -414,12 +414,15 @@ def _verify_pairs(cand: rd.Dataset, sf_dir: str, threshold: float) -> pd.DataFra
         )
 
     pairs_wide = cand.map_batches(pair_wide, batch_format="pyarrow")
-    verified = (
+    return (
         sets.union(pairs_wide)
         .groupby("bucket")
         .map_groups(_make_cell_scorer(threshold), batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def _verify_pairs(cand: rd.Dataset, sf_dir: str, threshold: float) -> pd.DataFrame:
+    verified = _verify_pairs_ds(cand, sf_dir, threshold).to_pandas()
     if len(verified) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -644,6 +647,27 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     a, b = _dedup_pairs(np.ascontiguousarray(cat[:, 0]),
                         np.ascontiguousarray(cat[:, 1]))
     return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def minhash_lsh_pairs_ds(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """The streaming form of :func:`minhash_lsh_pairs`: verified pairs as a
+    lazy Dataset (globally unique by construction — each pair dedups in its
+    grid cell). At 100 TB the pair list itself is big data; consume this
+    with :func:`write_neardup_pairs`, never ``to_pandas``."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
+    cand = bands.groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
+    return _verify_pairs_ds(cand, sf_dir, threshold)
+
+
+def write_neardup_pairs(sf_dir: str, out_dir: str, threshold: float = 0.8) -> dict:
+    """Stream verified near-dup pairs straight to partitioned parquet —
+    the driver never materializes the pair list."""
+    import pyarrow.dataset as pads
+
+    minhash_lsh_pairs_ds(sf_dir, threshold).write_parquet(out_dir)
+    n = pads.dataset(out_dir, format="parquet").count_rows()
+    return {"out_dir": out_dir, "rows": int(n)}
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:

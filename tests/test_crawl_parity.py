@@ -149,11 +149,14 @@ def deep_sitemap_fixture(tmp_path_factory):
     return d
 
 
-def test_parity_three_level_sitemap(deep_sitemap_fixture, workdir):
-    """Deep index nesting: record ranks must still equal the serial FIFO."""
+@pytest.mark.parametrize("engine", ["bucket", "pool", "ray_data"])
+def test_parity_three_level_sitemap(deep_sitemap_fixture, workdir, engine):
+    """Deep index nesting: record ranks must still equal the serial FIFO —
+    in every engine."""
     from licenta_crawler_ray.functions.urls import decode_priority
 
-    s = _compare(deep_sitemap_fixture, workdir, fetch_leaves=True)
+    s = _compare(deep_sitemap_fixture, workdir + engine, fetch_leaves=True,
+                 engine=engine)
     assert s["visited_rows"] == 18 * 2 * 3
     oracle = crawl_oracle(deep_sitemap_fixture, fetch_leaves=True)
     max_doc = 0

@@ -176,6 +176,18 @@ def test_multimodal_plumbing():
     assert all(len(m) >= 1 for m in vid["sampled_frame_means"])
 
 
+def test_neardup_pairs_streaming_sink(tmp_path):
+    """write_neardup_pairs streams the verified pair Dataset to parquet;
+    rows match the driver-materialized query exactly."""
+    from licenta_crawler_ray.pipelines.textops import (
+        minhash_lsh_pairs, write_neardup_pairs,
+    )
+
+    out = str(tmp_path / "pairs")
+    s = write_neardup_pairs(SF_DIR, out)
+    assert s["rows"] == len(minhash_lsh_pairs(SF_DIR))
+
+
 def test_partitioned_sink_resume(tmp_path):
     """Atomic per-partition commit + resume skip; counts match the source."""
     import duckdb
