@@ -4,8 +4,10 @@ The training-data-pipeline operator set: language-ID, quality scoring,
 token counting (whitespace + BPE-ish regex), document fingerprinting,
 exact dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash
 near-dup. Each runs as vectorized / per-batch ``map_batches`` stages with
-partial pre-aggregation before any shuffle; stateful pieces (compiled
-regexes, hash permutation tables) live in actor ``__init__``.
+partial pre-aggregation before any shuffle; cheap stage state (compiled
+regexes, hash permutation tables) is built once per worker process via
+:func:`cached_stage` tasks — actor pools are reserved for expensive
+per-actor setup (see the dispatch-policy note below).
 
 SQL-checkable ops share EXACT frozen specs with their DuckDB oracles
 (see ``__ray_entry__.oracle_sql``): token = maximal run of non-whitespace;

@@ -245,6 +245,71 @@ class TestProperties:
 
         check()
 
+    def test_whitespace_fastpath_equals_regex_spec(self):
+        """extract_text's split/join whitespace step must stay byte-equal to
+        the frozen regex definition (kept in the module as the spec)."""
+        from hypothesis import given, settings, strategies as st
+
+        from licenta_crawler_ray.functions import extract as E
+
+        alphabet = st.sampled_from(list("ab c\t\n\r\xa0") + ["\x1c", "\x85", " ", "　"])
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(alphabet, max_size=30).map("".join))
+        def check(s):
+            old = E._NL_RUN_RE.sub(
+                "\n", E._NL_SPACE_RE.sub("\n", E._HSPACE_RE.sub(" ", s))
+            ).strip()
+            new = "\n".join(
+                p for p in (" ".join(ln.split()) for ln in s.split("\n")) if p
+            )
+            assert old == new
+
+        check()
+
+    def test_connected_components_vs_union_find(self):
+        """Actor-sharded min-label propagation vs a serial union-find."""
+        import pandas as pd
+        from hypothesis import given, settings, strategies as st
+
+        from licenta_crawler_ray.pipelines.graph import connected_components
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                        max_size=60))
+        def check(edge_list):
+            nodes = np.arange(41)
+            parent = list(range(41))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for u, v in edge_list:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            # canonical: min node id per component
+            expected = {}
+            for n in nodes:
+                r = find(int(n))
+                expected.setdefault(r, []).append(int(n))
+            exp_label = {}
+            for members in expected.values():
+                m = min(members)
+                for x in members:
+                    exp_label[x] = m
+            edges = pd.DataFrame({
+                "doc_a": [u for u, v in edge_list],
+                "doc_b": [v for u, v in edge_list],
+            })
+            got = connected_components(edges, nodes, num_shards=4)
+            assert dict(zip(got["doc_id"], got["group_id"])) == exp_label
+
+        check()
+
     def test_extract_text_deterministic_and_idempotent_shape(self):
         from hypothesis import given, settings, strategies as st
 
