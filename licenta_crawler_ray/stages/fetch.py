@@ -18,6 +18,7 @@ O(1) partitions.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -167,29 +168,36 @@ class Fetcher:
                         .append_column("retrieved_ts", ts) \
                         .append_column("fetch_error", errs) \
                         .append_column("retry_count", pa.array(retries, type=pa.int32()))
-        # general path: probe per bucket (ray_data engine batches may span)
-        htmls: list = [None] * n
-        tss: list = [None] * n
-        errs_l: list = ["fetch_miss"] * n
+        # general path: probe per bucket (ray_data engine batches may span);
+        # html bytes move via null-aware takes, never through Python objects
+        parts = []
+        order = []
         for b in distinct:
-            b_urls = [u for u, ub in zip(urls, bucket_col) if ub == b]
+            sel = [i for i, ub in enumerate(bucket_col) if ub == b]
+            b_urls = [urls[i] for i in sel]
             idx, t = self._lookup(int(b), b_urls)
-            html_col = t.column("html")
-            ts_col = t.column("warc_ts")
-            for i, (u, ub) in enumerate(zip(urls, bucket_col)):
-                if ub != b:
-                    continue
-                if dead[i]:
-                    errs_l[i] = "timeout"
-                    continue
-                j = idx.get(u)
-                if j is not None:
-                    htmls[i] = html_col[j].as_py()
-                    tss[i] = ts_col[j].as_py()
-                    errs_l[i] = ""
-        return batch.append_column("html", pa.array(htmls, type=pa.binary())) \
-                    .append_column("retrieved_ts", pa.array(tss, type=pa.timestamp("us"))) \
-                    .append_column("fetch_error", pa.array(errs_l, type=pa.string())) \
+            indices = pa.array(
+                [None if dead[i] else idx.get(u) for i, u in zip(sel, b_urls)],
+                type=pa.int64(),
+            )
+            raw = indices.to_pylist()
+            errs = pa.array(
+                ["timeout" if dead[i] else ("" if j is not None else "fetch_miss")
+                 for i, j in zip(sel, raw)],
+                type=pa.string(),
+            )
+            parts.append(pa.table({
+                "html": t.column("html").take(indices).combine_chunks(),
+                "retrieved_ts": t.column("warc_ts").take(indices).combine_chunks(),
+                "fetch_error": errs,
+            }))
+            order.extend(sel)
+        merged = pa.concat_tables(parts)
+        inv = pa.array(np.argsort(np.asarray(order)))
+        merged = merged.take(inv)  # back to input row order
+        return batch.append_column("html", merged.column("html")) \
+                    .append_column("retrieved_ts", merged.column("retrieved_ts")) \
+                    .append_column("fetch_error", merged.column("fetch_error")) \
                     .append_column("retry_count", pa.array(retries, type=pa.int32()))
 
     def _flaky_info(self, urls: list[str]) -> tuple[list[int], list[bool]]:
