@@ -127,6 +127,17 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return fnv1a64_bytes_np(data, buf_offsets)
 
 
+# 16-bit-chunk popcount lookup: ~10x faster than np.unpackbits on this
+# numpy (1.26 has no np.bitwise_count); 64 KiB table built once per process
+_POPCNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of a uint64 array (any shape), as int64."""
+    v = np.ascontiguousarray(x).view(np.uint16).reshape(x.shape + (4,))
+    return _POPCNT16[v].sum(axis=-1, dtype=np.int64)
+
+
 def host_bucket(hosts: pa.Array | pa.ChunkedArray, num_buckets: int) -> pa.Array:
     """Stable bucket id per host — the engine-wide partitioning key.
 

@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from ..functions.urls import fnv1a64, hash_strings
+from ..functions.urls import fnv1a64, hash_strings, popcount_u64
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -474,7 +474,7 @@ def _word_bitmasks(sf_dir: str):
     bm = bm.sort_values("doc_id").reset_index(drop=True)
     ids = bm["doc_id"].to_numpy()
     masks = np.stack([bm[f"m{l}"].to_numpy().astype(np.uint64) for l in range(nlimbs)], axis=1)
-    popcnt = np.unpackbits(masks.view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+    popcnt = popcount_u64(masks).sum(axis=1)
     return ids, masks, popcnt
 
 
@@ -509,9 +509,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             inter = np.zeros((blk.shape[0], N), dtype=np.int64)
             for l in range(nlimbs):
                 x = blk[:, l][:, None] & masks_l[:, l][None, :]
-                inter += np.unpackbits(
-                    x.view(np.uint8).reshape(blk.shape[0], N, 8), axis=2
-                ).sum(axis=2).astype(np.int64)
+                inter += popcount_u64(x)
             union = popcnt_l[s : s + block][:, None] + popcnt_l[None, :] - inter
             jac = inter / np.maximum(union, 1)
             ai, bi = np.nonzero(jac >= threshold)
@@ -841,8 +839,8 @@ _SIMHASH_BLOCKS = 4  # 4 × 16-bit blocks: hamming ≤ 3 ⇒ ≥ 1 block identic
 
 
 def _hamming_u64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of uint64 XOR values."""
-    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    """Vectorized popcount of uint64 XOR values (16-bit LUT)."""
+    return popcount_u64(x)
 
 
 def _make_block_pairer(max_hamming: int):
@@ -946,9 +944,7 @@ def simhash_pairs_exact(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         for s in df["start"]:
             s = int(s)
             x = hs_l[s : s + block][:, None] ^ hs_l[None, :]
-            d = np.unpackbits(
-                x.view(np.uint8).reshape(x.shape[0], N, 8), axis=2
-            ).sum(axis=2)
+            d = popcount_u64(x)
             ai, bi = np.nonzero(d <= max_hamming)
             keep = (s + ai) < bi
             out_a.append(ids_l[s + ai[keep]])
