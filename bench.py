@@ -67,10 +67,11 @@ def run_headline_crawl(num_cpus: int) -> dict:
             workdir,
             fetch_leaves=True,
             host_budget=256,
-            # 3/4 of the level's CPUs crawl; the rest absorb driver, commit
-            # thread and Ray system work so worker slots never queue behind
-            # them (same proportion at every level → honest N-vs-4N ratio)
-            fetch_concurrency=max(2, (num_cpus * 3) // 4),
+            # 7/8 of the CPUs crawl (pool sweep at 32 CPUs after the text-
+            # kernel speedup: 20→4.8s, 24→4.4s, 28→3.8s, 31→5.0s). The
+            # SCALING protocol (bench_headline.py) keeps pools at 3/4 of
+            # each level so the lo/hi pool ratio stays exactly 4x.
+            fetch_concurrency=max(2, (num_cpus * 7) // 8),
             engine="bucket",  # zero-global-barrier per-bucket sub-crawls
             enrich=True,  # ingest-time text analysis on every fetched page
         )
