@@ -586,11 +586,19 @@ class MinHasher:
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
         uh = hash_strings(pa.array(uniq, type=pa.string()))
         hs = uh[codes]  # (F,) uint64, in doc-concatenation order
-        vals = (hs[:, None] * self.a[None, :]) + self.b[None, :]  # (F, 128)
         nz = counts > 0
         offs = np.zeros(len(counts), dtype=np.int64)
         offs[1:] = np.cumsum(counts[:-1])
-        sigs[nz] = np.minimum.reduceat(vals, offs[nz], axis=0)
+        onz = offs[nz]
+        # permutations in chunks of 8: the (F × chunk) product stays
+        # cache-resident instead of materializing an F × 128 (tens-of-MB)
+        # matrix — measured 1.8× faster solo and far better under full
+        # worker occupancy, where the big matrix's DRAM traffic caused a
+        # 5× per-worker derate (ds.stats: 0.7 s/task solo → 3.5 s mean)
+        C = 8
+        for c0 in range(0, NUM_PERM, C):
+            vals = hs[:, None] * self.a[None, c0:c0 + C] + self.b[None, c0:c0 + C]
+            sigs[nz, c0:c0 + C] = np.minimum.reduceat(vals, onz, axis=0)
         return sigs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -622,24 +630,38 @@ class MinHasher:
 
 
 def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs for one hash-partition: vectorized groupby inside,
-    deduped per partition before leaving the worker (a pair recurring in
-    several of this partition's buckets ships once; cross-partition
-    duplicates dedup in the verify join, where they co-locate by doc_a)."""
+    """Candidate pairs for one hash-partition, deduped per partition before
+    leaving the worker (a pair recurring in several of this partition's
+    buckets ships once; cross-partition duplicates dedup in the verify join,
+    where they co-locate).
+
+    Bucket grouping is a vectorized lexsort + boundary scan — on realistic
+    (sparse) corpora almost every (band, hash) bucket is a singleton, and a
+    pandas ``groupby`` iteration paid ~150 µs of Python PER SINGLETON
+    (measured 37 s over 1.6M band rows at 100k docs); the scan loops only
+    over buckets that actually collide."""
+    band = g["band_id"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    pre = g["prefix_hash"].to_numpy()
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids, pre = band[order], bh[order], ids[order], pre[order]
+    new_grp = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.r_[starts, len(ids)])
     outs = []
-    for (band_id, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
-        u = grp.drop_duplicates("doc_id")
-        if len(u) < 2:
+    for gi in np.flatnonzero(sizes >= 2):  # colliding buckets only
+        s, e = starts[gi], starts[gi] + sizes[gi]
+        gids, gpre = ids[s:e], pre[s:e]
+        keep_u = np.r_[True, gids[1:] != gids[:-1]]  # sorted → dedup docs
+        gids, gpre = gids[keep_u], gpre[keep_u]
+        if len(gids) < 2:
             continue
-        ids = u["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        pre = u["prefix_hash"].to_numpy()[order]
-        a, b = np.triu_indices(len(ids), k=1)
-        if band_id != 0:  # emit-at-first-colliding-band (see MinHasher)
-            keep = pre[a] != pre[b]
+        a, b = np.triu_indices(len(gids), k=1)
+        if band[s] != 0:  # emit-at-first-colliding-band (see MinHasher)
+            keep = gpre[a] != gpre[b]
             a, b = a[keep], b[keep]
-        outs.append(np.stack([ids[a], ids[b]], axis=1))
+        outs.append(np.stack([gids[a], gids[b]], axis=1))
     if not outs:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})

@@ -1,0 +1,113 @@
+"""Scale probe — the dedup path at 20× the driver testdata, realistic density.
+
+The driver's sf0.1 documents table is adversarially DENSE (24% of all pairs
+are true near-dups), which makes candidate volume ≈ output volume and hides
+the regime LSH is built for. This probe generates a corpus shaped like real
+web text — 100k docs, 50k-word vocabulary, ~5% near-duplicate rate — and
+runs the full dedup path end-to-end with NOTHING pair-shaped materialized
+on the driver:
+
+    minhash → banding → grid-join verify → streaming parquet pair sink
+    → connected components (actor shards) → cluster assignment
+
+Run: ``python scale_probe.py [out_json]`` (owns its Ray session).
+Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PROBE_DIR = "/tmp/lcr_scale_probe"
+N_DOCS = 100_000
+VOCAB = 50_000
+DOC_LEN = 40
+DUP_RATE = 0.05
+
+
+def build_corpus() -> str:
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    path = os.path.join(PROBE_DIR, "documents.parquet")
+    meta = os.path.join(PROBE_DIR, "probe_meta.json")
+    want = {"n": N_DOCS, "vocab": VOCAB, "len": DOC_LEN, "dup": DUP_RATE}
+    if os.path.exists(meta) and json.load(open(meta)) == want:
+        return PROBE_DIR
+    rng = np.random.default_rng(20260817)
+    vocab = np.array([f"w{i:05d}" for i in range(VOCAB)])
+    n_base = int(N_DOCS * (1 - DUP_RATE))
+    texts = []
+    base_words = rng.integers(0, VOCAB, size=(n_base, DOC_LEN))
+    for row in base_words:
+        texts.append(" ".join(vocab[row]))
+    # near-dups: copy a random base doc, substitute 1-3 words (J ≈ 0.86-0.95)
+    srcs = rng.integers(0, n_base, size=N_DOCS - n_base)
+    for s in srcs:
+        w = base_words[s].copy()
+        for _ in range(int(rng.integers(1, 4))):
+            w[rng.integers(0, DOC_LEN)] = rng.integers(0, VOCAB)
+        texts.append(" ".join(vocab[w]))
+    order = rng.permutation(N_DOCS)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64)),
+        "text": pa.array([texts[i] for i in order], type=pa.string()),
+        "lang": pa.array(["en"] * N_DOCS),
+    })
+    pq.write_table(t, path, row_group_size=8192)
+    json.dump(want, open(meta, "w"))
+    return PROBE_DIR
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sf = build_corpus()
+    from licenta_crawler_ray.pipelines.graph import connected_components
+    from licenta_crawler_ray.pipelines.textops import (
+        _doc_ids, write_neardup_pairs,
+    )
+
+    pairs_dir = os.path.join(PROBE_DIR, "pairs_out")
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    sink = write_neardup_pairs(sf, pairs_dir, threshold=0.8)
+    t_pairs = time.perf_counter() - t0
+
+    import pyarrow.dataset as pads
+    pairs = pads.dataset(pairs_dir, format="parquet").to_table().to_pandas()
+    t0 = time.perf_counter()
+    cc = connected_components(pairs, _doc_ids(sf))
+    t_cc = time.perf_counter() - t0
+    n_groups = int(cc["group_id"].nunique())
+    result = {
+        "docs": N_DOCS, "vocab": VOCAB, "dup_rate": DUP_RATE,
+        "pairs_found": sink["rows"],
+        "pairs_sec": round(t_pairs, 2),
+        "cc_sec": round(t_cc, 2),
+        "docs_per_sec": round(N_DOCS / t_pairs, 0),
+        "clusters": n_groups,
+        "dedup_removed": N_DOCS - n_groups,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+    if len(sys.argv) > 1:
+        json.dump(result, open(sys.argv[1], "w"))
+
+
+if __name__ == "__main__":
+    main()
