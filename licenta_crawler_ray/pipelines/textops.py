@@ -491,7 +491,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     approximate variants.
     """
     ids, masks, popcnt = _word_bitmasks(sf_dir)
-    state_ref = ray.put({"ids": ids, "masks": masks, "popcnt": popcnt})
+    # two block kernels for |A∩B|: an exact float32 bit-matrix matmul when
+    # the vocabulary fits (8× faster than packed popcount — counts ≤ V are
+    # exactly representable in f32 up to 2^24), else the packed-uint64
+    # popcount path, which has no vocabulary bound
+    MM_VOCAB_CAP = 4096
+    state = {"ids": ids, "popcnt": popcnt}
+    if masks.shape[1] * 64 <= MM_VOCAB_CAP:
+        state["bits"] = np.unpackbits(
+            masks.view(np.uint8), axis=1, bitorder="little"
+        ).astype(np.float32)
+    else:
+        state["masks"] = masks
+    state_ref = ray.put(state)
     n = len(ids)
     block = 512
 
@@ -499,17 +511,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         # stateless task: the broadcast state resolves zero-copy from the
         # local object store per task (no actor pool spin-up for ~10 tasks)
         st = ray.get(state_ref)
-        ids_l, masks_l, popcnt_l = st["ids"], st["masks"], st["popcnt"]
-        nlimbs = masks_l.shape[1]
+        ids_l, popcnt_l = st["ids"], st["popcnt"]
         N = len(ids_l)
         out_a, out_b = [], []
         for s in df["start"]:
             s = int(s)
-            blk = masks_l[s : s + block]
-            inter = np.zeros((blk.shape[0], N), dtype=np.int64)
-            for l in range(nlimbs):
-                x = blk[:, l][:, None] & masks_l[:, l][None, :]
-                inter += popcount_u64(x)
+            if "bits" in st:
+                bits = st["bits"]
+                inter = (bits[s : s + block] @ bits.T).astype(np.int64)
+            else:
+                masks_l = st["masks"]
+                blk = masks_l[s : s + block]
+                inter = np.zeros((blk.shape[0], N), dtype=np.int64)
+                for l in range(masks_l.shape[1]):
+                    x = blk[:, l][:, None] & masks_l[:, l][None, :]
+                    inter += popcount_u64(x)
             union = popcnt_l[s : s + block][:, None] + popcnt_l[None, :] - inter
             jac = inter / np.maximum(union, 1)
             ai, bi = np.nonzero(jac >= threshold)

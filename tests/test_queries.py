@@ -99,7 +99,9 @@ def test_minhash_unbounded_vocab(tmp_path):
     )
 
     rng = np.random.default_rng(1234)
-    vocab = [f"w{i:04d}" for i in range(2000)]  # 2000-word vocabulary
+    # > 4096 words: exercises the packed-popcount fallback of the exact
+    # Jaccard kernel (the float32-matmul fast path stops at MM_VOCAB_CAP)
+    vocab = [f"w{i:04d}" for i in range(5000)]
     texts, n_base = [], 60
     for _ in range(n_base):
         words = rng.choice(vocab, size=40, replace=False)
