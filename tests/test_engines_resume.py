@@ -7,8 +7,8 @@ from licenta_crawler_ray.oracle import crawl_oracle
 from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
 
 
-def _visited(fixture, workdir, **kw):
-    p = CrawlPipeline(fixture, workdir, fetch_leaves=True, **kw)
+def _visited(fixture, workdir, fetch_leaves=True, **kw):
+    p = CrawlPipeline(fixture, workdir, fetch_leaves=fetch_leaves, **kw)
     p.run()
     t = p.visited_table()
     p.close()
@@ -63,6 +63,20 @@ def test_bucket_engine_matches_pool(tiny_fixture, tmp_path):
     a = _visited(tiny_fixture, str(tmp_path / "pool"), engine="pool")
     d = _visited(tiny_fixture, str(tmp_path / "bk"), engine="bucket")
     assert a.to_pylist() == d.to_pylist()
+
+
+@pytest.mark.parametrize("fetch_leaves", [True, False])
+def test_enriched_engines_match(tiny_fixture, tmp_path, fetch_leaves):
+    """Enrichment columns (incl. null-filled discovery-only rows) must be
+    identical across engines — guards the per-engine visited-schema
+    assembly (fetched parts vs record-only parts vs retry columns)."""
+    a = _visited(tiny_fixture, str(tmp_path / f"pool{fetch_leaves}"),
+                 engine="pool", enrich=True, fetch_leaves=fetch_leaves)
+    b = _visited(tiny_fixture, str(tmp_path / f"bk{fetch_leaves}"),
+                 engine="bucket", enrich=True, fetch_leaves=fetch_leaves)
+    assert a.column_names == b.column_names
+    assert {"n_tokens", "simhash", "fingerprint", "retry_count"} <= set(a.column_names)
+    assert a.to_pylist() == b.to_pylist()
 
 
 def test_bucket_engine_resume_skips_committed(small_fixture, tmp_path):
