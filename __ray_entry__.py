@@ -64,9 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,            # rows-only
         "neardup_dedup": tx.neardup_dedup,                  # SQL-checked (recursive CC)
         "neardup_dedup_minhash": tx.neardup_dedup_minhash,  # approx; rows-only
-        # --- corpus statistics
+        # --- corpus statistics & curation
         "token_hist": tx.token_hist,                        # SQL-checked
         "top_terms_per_lang": tx.top_terms_per_lang,        # SQL-checked
+        "quality_filter": tx.quality_filter,                # SQL-checked
+        "corpus_split": tx.corpus_split,                    # SQL-checked
         # --- similarity search
         "embedding_knn": sim.embedding_knn,                 # SQL-checked
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked
@@ -229,6 +231,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT lang, word, n, rank FROM r WHERE rank <= 5
             ORDER BY lang, rank
+        """,
+        "quality_filter": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\S+')) AS nw,
+                len(regexp_extract_all(text, '[.,!?;:]')) AS np,
+                len(regexp_extract_all(lower(text),
+                                       '\b(?:the|a|and|of|to|in)\b')) AS ns
+              FROM documents)
+            SELECT doc_id FROM s
+            WHERE nw >= 10 AND np * 2 <= nw AND ns >= 1
+            ORDER BY doc_id
+        """,
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train'
+                        WHEN doc_id % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),

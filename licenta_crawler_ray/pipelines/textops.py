@@ -726,6 +726,65 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation — quality filtering + deterministic split (SQL-checkable)
+# ---------------------------------------------------------------------------
+# C4/Gopher-style heuristic gate, frozen as integer-count rules so the
+# DuckDB oracle hashes identically: keep docs with ≥10 words, punctuation
+# at most half the word count, and ≥1 English stopword hit.
+QF_MIN_WORDS = 10
+QF_MAX_PUNCT_RATIO_X2 = 1  # n_punct * 2 <= n_words
+QF_MIN_STOPWORDS = 1
+
+
+def quality_filter(sf_dir: str) -> pd.DataFrame:
+    """doc_ids surviving the quality gate — the filtering step a corpus
+    build applies before tokenization; composes the quality_scores stage
+    and filters inside the same task (no extra pass over the text)."""
+    score = cached_stage(QualityScore)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        s = score(df)
+        keep = (
+            (s["n_words"] >= QF_MIN_WORDS)
+            & (s["n_punct"] * 2 <= s["n_words"])
+            & (s["n_stopwords"] >= QF_MIN_STOPWORDS)
+        )
+        return s.loc[keep, ["doc_id"]]
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gate, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by ``doc_id % 10``)
+    — stable across runs and machines, trivially re-derivable by any reader
+    of the corpus (the property a split column must have)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = pc.cast(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+            pa.int64(),
+        )  # doc_id % 10 without pc.mod (absent in this pyarrow)
+        split = pc.if_else(
+            pc.less(m, 8), pa.scalar("train"),
+            pc.if_else(pc.equal(m, 8), pa.scalar("val"), pa.scalar("test")),
+        )
+        return pa.table({"doc_id": t["doc_id"], "split": split})
+
+    out = (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Near-dup DEDUP — pair graph → duplicate clusters → one keeper per cluster
 # ---------------------------------------------------------------------------
 def _doc_ids(sf_dir: str) -> np.ndarray:

@@ -36,7 +36,7 @@ SQL_CHECKED = [
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
-    "top_terms_per_lang",
+    "top_terms_per_lang", "quality_filter", "corpus_split",
 ]
 
 
