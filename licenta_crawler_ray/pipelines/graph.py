@@ -45,12 +45,28 @@ class _CCShard:
     shard's nodes.
     """
 
-    def __init__(self, shard_id: int, num_shards: int,
-                 nodes: np.ndarray, eu: np.ndarray, ev: np.ndarray):
+    def __init__(self, shard_id: int, num_shards: int, nodes: np.ndarray,
+                 eu: np.ndarray | None = None, ev: np.ndarray | None = None,
+                 edges_dir: str | None = None):
         self.sid = shard_id
         self.P = num_shards
         self.nodes = np.sort(nodes)
         self.labels = self.nodes.copy()  # label init = node id
+        if edges_dir is not None:
+            # driver-free form: the shard pulls ITS pre-partitioned edge
+            # slice straight from the parquet sink — the edge set never
+            # exists in any single process
+            import os
+
+            import pyarrow.dataset as pads
+
+            pdir = os.path.join(edges_dir, f"shard={shard_id}")
+            if os.path.isdir(pdir):
+                t = pads.dataset(pdir, format="parquet").to_table(columns=["u", "v"])
+                eu = t.column("u").to_numpy().astype(np.int64)
+                ev = t.column("v").to_numpy().astype(np.int64)
+            else:
+                eu = ev = np.empty(0, dtype=np.int64)
         # group resident edges by target shard once (propagate pre-buckets)
         tshard = (ev % self.P).astype(np.int64)
         order = np.argsort(tshard, kind="stable")
@@ -97,6 +113,47 @@ class _CCShard:
     def result(self) -> tuple:
         return self.nodes, self.labels
 
+    def write_result(self, out_dir: str) -> int:
+        """Write this shard's (doc_id, group_id) assignment directly to its
+        own parquet part — cluster maps are corpus-sized, so at scale they
+        leave through the shards, never through the driver."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        t = pa.table({"doc_id": pa.array(self.nodes),
+                      "group_id": pa.array(self.labels)})
+        pq.write_table(t, os.path.join(out_dir, f"part-{self.sid:04d}.parquet"))
+        return len(self.nodes)
+
+
+def _run_shards(shards: list, max_rounds: int, write_dir: str | None = None):
+    P = len(shards)
+    try:
+        for _ in range(max_rounds):
+            outs = ray.get([sh.propagate.remote() for sh in shards])
+            # route: shard s's bucket t goes to shard t (refs, zero-copy)
+            changed = ray.get([
+                sh.apply.remote(*[outs[s][t] for s in range(P)])
+                for t, sh in enumerate(shards)
+            ])
+            if sum(changed) == 0:
+                break
+        if write_dir is not None:
+            n = sum(ray.get([sh.write_result.remote(write_dir) for sh in shards]))
+            return n
+        parts = ray.get([sh.result.remote() for sh in shards])
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pd.DataFrame({
+        "doc_id": np.concatenate([p[0] for p in parts]),
+        "group_id": np.concatenate([p[1] for p in parts]),
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
 
 def connected_components(
     edges: pd.DataFrame, nodes: np.ndarray,
@@ -115,27 +172,31 @@ def connected_components(
     P = num_shards
     sid_n = nodes % P
     sid_e = eu % P
-    shards = []
-    for s in range(P):
-        shards.append(_CCShard.remote(
-            s, P, nodes[sid_n == s], eu[sid_e == s], ev[sid_e == s]
-        ))
-    try:
-        for _ in range(max_rounds):
-            outs = ray.get([sh.propagate.remote() for sh in shards])
-            # route: shard s's bucket t goes to shard t (refs, zero-copy)
-            changed = ray.get([
-                sh.apply.remote(*[outs[s][t] for s in range(P)])
-                for t, sh in enumerate(shards)
-            ])
-            if sum(changed) == 0:
-                break
-        parts = ray.get([sh.result.remote() for sh in shards])
-    finally:
-        for sh in shards:
-            ray.kill(sh)
-    out = pd.DataFrame({
-        "doc_id": np.concatenate([p[0] for p in parts]),
-        "group_id": np.concatenate([p[1] for p in parts]),
-    })
-    return out.sort_values("doc_id").reset_index(drop=True)
+    shards = [
+        _CCShard.remote(s, P, nodes[sid_n == s], eu[sid_e == s], ev[sid_e == s])
+        for s in range(P)
+    ]
+    return _run_shards(shards, max_rounds)
+
+
+def connected_components_from_edge_partitions(
+    edges_dir: str, nodes: np.ndarray,
+    num_shards: int = 16, max_rounds: int = 64,
+    write_dir: str | None = None,
+):
+    """Driver-free variant: each shard loads its own pre-partitioned
+    symmetric edge slice from ``{edges_dir}/shard={s}/`` (written by
+    :func:`licenta_crawler_ray.pipelines.textops.write_neardup_edges`);
+    the edge set never passes through the driver. With ``write_dir`` the
+    shards also WRITE their assignment partitions directly (returns the
+    row count); otherwise the assembled assignment DataFrame is returned
+    (test scales only). ``num_shards`` must equal the sink's shard count.
+    """
+    nodes = np.unique(np.asarray(nodes, dtype=np.int64))
+    P = num_shards
+    sid_n = nodes % P
+    shards = [
+        _CCShard.remote(s, P, nodes[sid_n == s], edges_dir=edges_dir)
+        for s in range(P)
+    ]
+    return _run_shards(shards, max_rounds, write_dir=write_dir)

@@ -708,6 +708,63 @@ def write_neardup_pairs(sf_dir: str, out_dir: str, threshold: float = 0.8) -> di
     return {"out_dir": out_dir, "rows": int(n)}
 
 
+def write_neardup_edges(
+    sf_dir: str, out_dir: str, threshold: float = 0.8, num_shards: int = 16
+) -> dict:
+    """Symmetric near-dup edge set, hash-partitioned by source shard —
+    the layout the CC actor shards load directly (``shard={s}/``)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "shard": pa.array((u % num_shards).astype(np.int32)),
+            "u": pa.array(u),
+            "v": pa.array(v),
+        })
+
+    (
+        minhash_lsh_pairs_ds(sf_dir, threshold)
+        .map_batches(explode, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+    return {"out_dir": out_dir, "num_shards": num_shards}
+
+
+def neardup_dedup_to_parquet(
+    sf_dir: str, workdir: str, threshold: float = 0.8, num_shards: int = 16
+) -> dict:
+    """The END-TO-END corpus dedup pipeline, driver-free throughout:
+
+      minhash → banding → grid-join verify → shard-partitioned edge sink →
+      CC actor shards (each loads its own edge partition) → per-shard
+      cluster-assignment parquet parts.
+
+    Neither the pair list, the edge set, nor the corpus-sized cluster map
+    ever passes through the driver — only this summary dict does.
+    """
+    import shutil
+
+    from .graph import connected_components_from_edge_partitions
+
+    edges_dir = os.path.join(workdir, "edges")
+    clusters_dir = os.path.join(workdir, "clusters")
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(clusters_dir, ignore_errors=True)
+    write_neardup_edges(sf_dir, edges_dir, threshold, num_shards)
+    n = connected_components_from_edge_partitions(
+        edges_dir, _doc_ids(sf_dir), num_shards, write_dir=clusters_dir
+    )
+    # distinct-cluster count computed with a streaming read, not a driver map
+    n_groups = len(
+        rd.read_parquet(clusters_dir, columns=["group_id"]).unique("group_id")
+    )
+    return {"workdir": workdir, "docs": int(n), "clusters": int(n_groups),
+            "removed": int(n - n_groups)}
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 

@@ -190,6 +190,28 @@ def test_neardup_pairs_streaming_sink(tmp_path):
     assert s["rows"] == len(minhash_lsh_pairs(SF_DIR))
 
 
+def test_neardup_dedup_pipeline_driver_free(tmp_path):
+    """End-to-end parquet dedup pipeline: sharded edge sink → shard-loaded
+    CC → per-shard cluster parts; assignment must equal the in-memory
+    clustering exactly."""
+    import pyarrow.dataset as pads
+
+    from licenta_crawler_ray.pipelines.textops import (
+        neardup_dedup_minhash, neardup_dedup_to_parquet,
+    )
+
+    wd = str(tmp_path / "dedup")
+    s = neardup_dedup_to_parquet(SF_DIR, wd)
+    ref = neardup_dedup_minhash(SF_DIR)
+    assert s["docs"] == len(ref)
+    assert s["clusters"] == ref["group_id"].nunique()
+    got = (
+        pads.dataset(os.path.join(wd, "clusters"), format="parquet")
+        .to_table().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(ref)
+
+
 def test_partitioned_sink_resume(tmp_path):
     """Atomic per-partition commit + resume skip; counts match the source."""
     import duckdb
