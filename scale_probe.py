@@ -77,26 +77,37 @@ def main() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     sf = build_corpus()
-    from licenta_crawler_ray.pipelines.graph import connected_components
+    import pyarrow.dataset as pads
+
+    from licenta_crawler_ray.pipelines.graph import (
+        connected_components_from_edge_partitions,
+    )
     from licenta_crawler_ray.pipelines.textops import (
-        _doc_ids, write_neardup_pairs,
+        _doc_ids, write_neardup_edges,
     )
 
-    pairs_dir = os.path.join(PROBE_DIR, "pairs_out")
-    shutil.rmtree(pairs_dir, ignore_errors=True)
+    wd = os.path.join(PROBE_DIR, "dedup_out")
+    edges_dir = os.path.join(wd, "edges")
+    clusters_dir = os.path.join(wd, "clusters")
+    shutil.rmtree(wd, ignore_errors=True)
     t0 = time.perf_counter()
-    sink = write_neardup_pairs(sf, pairs_dir, threshold=0.8)
+    write_neardup_edges(sf, edges_dir, threshold=0.8)
     t_pairs = time.perf_counter() - t0
+    n_pairs = pads.dataset(edges_dir, format="parquet",
+                           partitioning="hive").count_rows() // 2
 
-    import pyarrow.dataset as pads
-    pairs = pads.dataset(pairs_dir, format="parquet").to_table().to_pandas()
     t0 = time.perf_counter()
-    cc = connected_components(pairs, _doc_ids(sf))
+    connected_components_from_edge_partitions(
+        edges_dir, _doc_ids(sf), write_dir=clusters_dir
+    )
     t_cc = time.perf_counter() - t0
-    n_groups = int(cc["group_id"].nunique())
+    import ray.data as rd
+    n_groups = len(
+        rd.read_parquet(clusters_dir, columns=["group_id"]).unique("group_id")
+    )
     result = {
         "docs": N_DOCS, "vocab": VOCAB, "dup_rate": DUP_RATE,
-        "pairs_found": sink["rows"],
+        "pairs_found": int(n_pairs),
         "pairs_sec": round(t_pairs, 2),
         "cc_sec": round(t_cc, 2),
         "docs_per_sec": round(N_DOCS / t_pairs, 0),
