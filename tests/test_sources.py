@@ -1,0 +1,70 @@
+"""WARC-lite source format: round-trip + crawl-through-ingested-corpus."""
+
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from licenta_crawler_ray.sources.warc_lite import (
+    ingest_warc_lite,
+    read_warc_lite,
+    write_warc_lite,
+)
+
+
+def test_warc_lite_roundtrip(tiny_fixture, tmp_path):
+    """pages → archive segments → streamed read: identical url/html/ts."""
+    warc = str(tmp_path / "warc")
+    s = write_warc_lite(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
+    assert s["segments"] >= 2
+    back = read_warc_lite(warc).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = (
+        pads.dataset(os.path.join(tiny_fixture, "pages"), partitioning="hive")
+        .to_table(columns=["url", "warc_ts", "html", "lang"])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert len(back) == len(orig) == s["records"]
+    assert (back["url"] == orig["url"]).all()
+    assert (back["html"] == orig["html"]).all()
+    assert (back["warc_ts"] == orig["warc_ts"]).all()
+    assert (back["lang"] == orig["lang"]).all()
+
+
+def test_crawl_over_ingested_warc_corpus(tiny_fixture, tmp_path):
+    """Full ingest story: archive → hive/sorted pages layout → the crawl
+    over the ingested corpus equals the crawl over the original fixture."""
+    from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
+
+    warc = str(tmp_path / "warc")
+    write_warc_lite(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
+
+    # assemble a fixture dir around the ingested pages
+    fix2 = str(tmp_path / "fixture2")
+    os.makedirs(fix2)
+    s = ingest_warc_lite(warc, os.path.join(fix2, "pages"), num_buckets=16)
+    assert s["written"] and not s["skipped"]
+    for f in ("jobs.json", "robots.json", "redirects.json", "flaky.json",
+              "meta.json"):
+        shutil.copy(os.path.join(tiny_fixture, f), os.path.join(fix2, f))
+
+    a = CrawlPipeline(tiny_fixture, str(tmp_path / "job_a"), fetch_leaves=True)
+    a.run()
+    ta = a.visited_table()
+    a.close()
+    b = CrawlPipeline(fix2, str(tmp_path / "job_b"), fetch_leaves=True)
+    b.run()
+    tb = b.visited_table()
+    b.close()
+    assert ta.equals(tb)
+
+    # resume: a second ingest skips every committed bucket partition
+    s2 = ingest_warc_lite(warc, os.path.join(fix2, "pages"), num_buckets=16)
+    assert not s2["written"] and s2["skipped"]
+
+
+def test_warc_lite_bad_magic_raises(tmp_path):
+    from licenta_crawler_ray.sources.warc_lite import parse_segment
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_segment(b"NOT-A-WARC\n")
