@@ -63,6 +63,43 @@ def test_crawl_over_ingested_warc_corpus(tiny_fixture, tmp_path):
     assert not s2["written"] and s2["skipped"]
 
 
+def test_read_documents_formats_agree(tmp_path):
+    """parquet / jsonl / csv sources of the same corpus normalize to
+    identical Datasets."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.sources.text_corpus import read_documents
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    rows = src.to_pylist()
+    jdir = tmp_path / "docs_jsonl"; jdir.mkdir()
+    with open(jdir / "part-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cdir = tmp_path / "docs_csv"; cdir.mkdir()
+    import csv
+
+    with open(cdir / "part-0.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "text", "lang"])
+        w.writeheader()
+        w.writerows(rows)
+    pdir = tmp_path / "docs_parquet"; pdir.mkdir()
+    pq.write_table(src, pdir / "part-0.parquet")
+
+    frames = {}
+    for name, d in (("parquet", pdir), ("jsonl", jdir), ("csv", cdir)):
+        frames[name] = (
+            read_documents(str(d)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+    assert frames["parquet"].equals(frames["jsonl"])
+    assert frames["parquet"].equals(frames["csv"])
+    assert len(frames["parquet"]) == src.num_rows
+
+
 def test_warc_lite_bad_magic_raises(tmp_path):
     from licenta_crawler_ray.sources.warc_lite import parse_segment
 
