@@ -90,6 +90,12 @@ def main() -> None:
     edges_dir = os.path.join(wd, "edges")
     clusters_dir = os.path.join(wd, "clusters")
     shutil.rmtree(wd, ignore_errors=True)
+    # untimed warm-up at 1/100 scale (same steady-state protocol as
+    # bench.py): the session's first shuffle pipeline pays a one-time
+    # worker/path warm-up that is not a property of the pipeline
+    warm_dir = os.path.join(PROBE_DIR, "warmup_edges")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    write_neardup_edges("/root/testdata/sf0.001", warm_dir, threshold=0.8)
     t0 = time.perf_counter()
     write_neardup_edges(sf, edges_dir, threshold=0.8)
     t_pairs = time.perf_counter() - t0
