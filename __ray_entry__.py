@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": sim.embedding_knn,                 # SQL-checked
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked
         "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
+        "embedding_knn_lsh": sim.embedding_knn_lsh,         # approx; rows-only
     }
 
 

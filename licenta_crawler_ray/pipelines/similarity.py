@@ -231,6 +231,77 @@ def embedding_neardup_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.Da
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def embedding_knn_lsh(
+    sf_dir: str, num_queries: int = 5, k: int = 10,
+    num_planes: int = 4, num_tables: int = 16,
+) -> pd.DataFrame:
+    """Random-hyperplane LSH approximate top-k — the other classic ANN
+    bucketing (Charikar SimHash for cosine). ``num_tables`` independent
+    sign-signatures of ``num_planes`` bits each; a vector is scored for a
+    query iff they share a bucket in ANY table. Deterministic planes
+    (seeded); output schema matches the exact variant; recall vs
+    :func:`embedding_knn` is measured in tests.
+
+    Scale shape: per-batch signature computation is one matmul + sign
+    pack; candidate scoring touches only same-bucket vectors, so the per-
+    query work scales with bucket occupancy (n / 2^planes per table), not
+    with n.
+    """
+    qdf = _query_frame(sf_dir, num_queries)
+    qm = _normalize(_to_matrix(qdf))
+    dim = qm.shape[1]
+    rng = np.random.default_rng(0xB00C)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    pow2 = (1 << np.arange(num_planes)).astype(np.int64)
+    qsig = np.stack([
+        ((qm @ planes[t].T) > 0) @ pow2 for t in range(num_tables)
+    ], axis=1)  # (Q, T)
+    qids = qdf["vec_id"].to_numpy()
+    # wanted[(table, bucket)] -> query rows probing it
+    wanted: dict[tuple[int, int], list[int]] = {}
+    for qi in range(len(qids)):
+        for t in range(num_tables):
+            wanted.setdefault((t, int(qsig[qi, t])), []).append(qi)
+
+    class LshScorer:
+        """Small state (planes + queries + probe map) rides in the callable."""
+
+        def __init__(self):
+            self.planes, self.wanted = planes, wanted
+            self.qids, self.qm = qids, qm
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_to_matrix(df))
+            ids = df["vec_id"].to_numpy()
+            # candidate mask: shares a bucket with ≥1 query in ≥1 table
+            cand_qs: list[set[int]] = [set() for _ in range(len(ids))]
+            for t in range(num_tables):
+                sig = ((m @ self.planes[t].T) > 0) @ pow2
+                for vi in range(len(ids)):
+                    qs = self.wanted.get((t, int(sig[vi])))
+                    if qs:
+                        cand_qs[vi].update(qs)
+            frames = []
+            for qi in range(len(self.qids)):
+                sel = np.array([qi in c for c in cand_qs], dtype=bool)
+                if not sel.any():
+                    continue
+                sims = self.qm[qi] @ m[sel].T
+                frames.append(pd.DataFrame({
+                    "query_id": self.qids[qi], "vec_id": ids[sel], "sim": sims,
+                }))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     "vec_id": pd.Series([], dtype="int64"),
+                                     "sim": pd.Series([], dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        LshScorer(), batch_format="pandas"
+    ).to_pandas()
+    return _rank_partials(partials, k)
+
+
 def embedding_knn_ivf(
     sf_dir: str, num_queries: int = 5, k: int = 10,
     num_centroids: int = 16, nprobe: int = 8, iters: int = 5,

@@ -132,6 +132,16 @@ def test_ivf_recall_vs_exact(entry_mod):
     assert len(a & e) >= 0.6 * len(e)  # nprobe=4/16 buckets — recall floor
 
 
+def test_lsh_knn_recall_vs_exact(entry_mod):
+    from licenta_crawler_ray.pipelines.similarity import embedding_knn, embedding_knn_lsh
+
+    exact = embedding_knn(SF_DIR)
+    approx = embedding_knn_lsh(SF_DIR)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    assert len(a & e) >= 0.6 * len(e)  # 16 tables x 4 planes — recall floor
+
+
 def test_entry_smoke(entry_mod):
     df = entry_mod.entry()
     assert len(df) > 0
