@@ -8,17 +8,22 @@ import pytest
 
 from licenta_crawler_ray.sources.warc_lite import (
     ingest_warc_lite,
+    read_archive,
     read_warc_lite,
+    write_warc,
     write_warc_lite,
 )
 
 
-def test_warc_lite_roundtrip(tiny_fixture, tmp_path):
-    """pages → archive segments → streamed read: identical url/html/ts."""
+@pytest.mark.parametrize("writer", [write_warc_lite, write_warc],
+                         ids=["warclite", "warc_gz"])
+def test_warc_roundtrip(tiny_fixture, tmp_path, writer):
+    """pages → archive segments → streamed read: identical url/html/ts,
+    for both the lite framing and real WARC/1.0 gzip members."""
     warc = str(tmp_path / "warc")
-    s = write_warc_lite(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
+    s = writer(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
     assert s["segments"] >= 2
-    back = read_warc_lite(warc).to_pandas().sort_values("url").reset_index(drop=True)
+    back = read_archive(warc).to_pandas().sort_values("url").reset_index(drop=True)
     orig = (
         pads.dataset(os.path.join(tiny_fixture, "pages"), partitioning="hive")
         .to_table(columns=["url", "warc_ts", "html", "lang"])
@@ -31,19 +36,30 @@ def test_warc_lite_roundtrip(tiny_fixture, tmp_path):
     assert (back["lang"] == orig["lang"]).all()
 
 
-def test_crawl_over_ingested_warc_corpus(tiny_fixture, tmp_path):
+@pytest.mark.parametrize("writer", [write_warc_lite, write_warc],
+                         ids=["warclite", "warc_gz"])
+def test_crawl_over_ingested_warc_corpus(tiny_fixture, tmp_path, writer):
     """Full ingest story: archive → hive/sorted pages layout → the crawl
     over the ingested corpus equals the crawl over the original fixture."""
+    import json
+
     from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
 
     warc = str(tmp_path / "warc")
-    write_warc_lite(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
+    writer(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
 
     # assemble a fixture dir around the ingested pages
     fix2 = str(tmp_path / "fixture2")
     os.makedirs(fix2)
     s = ingest_warc_lite(warc, os.path.join(fix2, "pages"), num_buckets=16)
     assert s["written"] and not s["skipped"]
+    # bucket partitions are written by WORKERS (groupby shuffle →
+    # map_groups), never assembled in the driver process
+    assert s["writer_pids"] and os.getpid() not in s["writer_pids"]
+    for b in s["written"]:
+        with open(os.path.join(fix2, "pages", f"host_bucket={b}", "_SUCCESS")) as f:
+            marker = json.load(f)
+        assert marker["writer_pid"] != os.getpid() and marker["rows"] > 0
     for f in ("jobs.json", "robots.json", "redirects.json", "flaky.json",
               "meta.json"):
         shutil.copy(os.path.join(tiny_fixture, f), os.path.join(fix2, f))
