@@ -71,7 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": tx.corpus_split,                    # SQL-checked
         # --- similarity search
         "embedding_knn": sim.embedding_knn,                 # SQL-checked
-        "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked
+        "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked (exact)
+        "embedding_neardup_pairs_ivf": sim.embedding_neardup_pairs_ivf,  # approx; rows-only
         "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
         "embedding_knn_lsh": sim.embedding_knn_lsh,         # approx; rows-only
     }

@@ -36,7 +36,8 @@ QUERY_NAMES = [
     "simhash_pairs", "doc_fingerprints", "neardup_dedup_minhash",
     "token_hist", "top_terms_per_lang", "quality_filter", "corpus_split",
     "embedding_knn",
-    "embedding_neardup_pairs", "embedding_knn_ivf",
+    "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
+    "embedding_knn_ivf",
 ]
 
 

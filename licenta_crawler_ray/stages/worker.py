@@ -103,6 +103,9 @@ class CrawlWorker:
             self.inner, bucket_id, frontier, seed_urls, out_dir,
             host_budget=host_budget, fetch_leaves=fetch_leaves,
             seen_log2_buckets=seen_log2_buckets,
+            # Crawl-delay map rides with the broadcast robots rules the
+            # worker already holds — no extra plumbing from the driver
+            crawl_delays=self.inner.processor.rules.crawl_delay,
         )
         self.busy_sec += _time.perf_counter() - _t0
         return out

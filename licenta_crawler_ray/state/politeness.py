@@ -35,6 +35,13 @@ class RobotRules:
             h: tuple(r.get("disallow", ())) for h, r in per_host.items()
         }
         self.sitemaps = {h: list(r.get("sitemaps", ())) for h, r in per_host.items()}
+        # optional per-host Crawl-delay seconds (the reference-inferred
+        # RobotDefaults semantic, SURVEY §2.3 T3); absent hosts are governed
+        # by the structural per-host budget only
+        self.crawl_delay = {
+            h: float(r["crawl_delay"]) for h, r in per_host.items()
+            if r.get("crawl_delay")
+        }
 
     def allowed_one(self, url: str, host: str) -> bool:
         rules = self.disallow.get(host)
@@ -74,6 +81,50 @@ class RobotsGate:
             batch.column("url").to_pylist(), batch.column("host").to_pylist()
         )
         return batch.filter(pa.array(ok))
+
+
+class PolitenessClock:
+    """Per-host Crawl-delay enforcement on a LOGICAL wave clock.
+
+    The sandbox has no wall-clock network, so delay runs on logical time:
+    each wave advances every delayed host's token bucket by
+    ``wave_seconds / crawl_delay`` fetch tokens (burst-capped at the
+    structural ``host_budget``); a wave may fetch at most ``floor(tokens)``
+    pages from that host. A host with ``crawl_delay == wave_seconds``
+    fetches one page per wave; slower hosts skip waves. Because record
+    ranks derive from discovery (depth, doc_order), not wall time,
+    throttling defers rows to later waves WITHOUT changing the final
+    visited set or its order (SURVEY §4) — the property the parity tests
+    pin down. Deterministic: pure arithmetic on wave numbers.
+    """
+
+    WAVE_SECONDS = 1.0
+
+    def __init__(self, crawl_delay: dict[str, float], host_budget: int,
+                 wave_seconds: float = WAVE_SECONDS):
+        self.delay = {h: d for h, d in crawl_delay.items() if d > 0}
+        self.budget = host_budget if host_budget >= 0 else 1 << 30
+        self.wave_seconds = wave_seconds
+        self.tokens: dict[str, float] = {}
+
+    def tick(self) -> None:
+        """Advance logical time by one wave. First tick grants exactly one
+        immediate fetch (a polite crawler need not wait before page one)."""
+        for h, d in self.delay.items():
+            prev = self.tokens.get(h)
+            self.tokens[h] = (
+                1.0 if prev is None
+                else min(float(self.budget), prev + self.wave_seconds / d)
+            )
+
+    def limits(self) -> dict[str, int]:
+        """host → max fetches this wave, for DELAYED hosts only."""
+        return {h: min(self.budget, int(t)) for h, t in self.tokens.items()}
+
+    def spend(self, host_counts: dict[str, int]) -> None:
+        for h, k in host_counts.items():
+            if h in self.tokens and k:
+                self.tokens[h] -= float(k)
 
 
 def select_host_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:

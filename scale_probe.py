@@ -82,9 +82,7 @@ def main() -> None:
     from licenta_crawler_ray.pipelines.graph import (
         connected_components_from_edge_partitions,
     )
-    from licenta_crawler_ray.pipelines.textops import (
-        _doc_ids, write_neardup_edges,
-    )
+    from licenta_crawler_ray.pipelines.textops import write_neardup_edges
 
     wd = os.path.join(PROBE_DIR, "dedup_out")
     edges_dir = os.path.join(wd, "edges")
@@ -104,7 +102,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     connected_components_from_edge_partitions(
-        edges_dir, _doc_ids(sf), write_dir=clusters_dir
+        edges_dir, os.path.join(sf, "documents.parquet"), write_dir=clusters_dir
     )
     t_cc = time.perf_counter() - t0
     import ray.data as rd

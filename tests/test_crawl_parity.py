@@ -5,6 +5,8 @@ set, (c) identical visit order (record ranks) under the same seeds +
 politeness budget.
 """
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -64,6 +66,44 @@ def test_parity_budget_throttle(tiny_fixture, workdir):
     s2 = _compare(tiny_fixture, workdir + "-big", fetch_leaves=True, host_budget=1000)
     assert s1["waves"] > s2["waves"]
     assert s1["visited_rows"] == s2["visited_rows"]
+
+
+def test_parity_crawl_delay_clock(tiny_fixture, workdir, tmp_path):
+    """Crawl-delay spaces a host's fetch waves on the logical clock while
+    the visited table (set, order, ranks, bytes) stays identical — oracle
+    parity is checked against the delay-free single-process oracle, pinning
+    the SURVEY §4 invariant that politeness never changes output."""
+    import json
+    import shutil
+
+    from licenta_crawler_ray.pipelines.crawl import CrawlPipeline
+
+    fix2 = str(tmp_path / "fixture_delay")
+    shutil.copytree(tiny_fixture, fix2)
+    with open(os.path.join(fix2, "robots.json")) as f:
+        robots = json.load(f)
+    slow_host = sorted(robots)[0]
+    robots[slow_host]["crawl_delay"] = 2.0  # 1 fetch per 2 logical waves
+    with open(os.path.join(fix2, "robots.json"), "w") as f:
+        json.dump(robots, f)
+
+    # oracle parity holds under delay (and the oracle knows nothing of it)
+    s_delay = _compare(fix2, workdir + "-delay", fetch_leaves=True)
+    s_plain = _compare(tiny_fixture, workdir + "-plain", fetch_leaves=True)
+    assert s_delay["visited_rows"] == s_plain["visited_rows"]
+    assert s_delay["waves"] > s_plain["waves"]  # fetches were spaced out
+
+    # lineage records the throttling; both engines agree on the output
+    p = CrawlPipeline(fix2, workdir + "-lin", fetch_leaves=True)
+    p.run()
+    t_wave = p.visited_table()
+    assert sum(r.get("throttled", 0) for r in p.lineage) > 0
+    p.close()
+    b = CrawlPipeline(fix2, workdir + "-bkt", fetch_leaves=True, engine="bucket")
+    b.run()
+    t_bucket = b.visited_table()
+    b.close()
+    assert t_wave.equals(t_bucket)
 
 
 def test_parity_small(small_fixture, workdir):

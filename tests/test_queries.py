@@ -82,10 +82,10 @@ def test_simhash_bucketed_equals_exact():
 
 def test_embedding_neardup_ivf_equals_exact():
     from licenta_crawler_ray.pipelines.similarity import (
-        embedding_neardup_pairs, embedding_neardup_pairs_exact,
+        embedding_neardup_pairs, embedding_neardup_pairs_ivf,
     )
 
-    assert embedding_neardup_pairs(SF_DIR).equals(embedding_neardup_pairs_exact(SF_DIR))
+    assert embedding_neardup_pairs_ivf(SF_DIR).equals(embedding_neardup_pairs(SF_DIR))
 
 
 def test_minhash_unbounded_vocab(tmp_path):

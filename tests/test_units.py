@@ -310,6 +310,21 @@ class TestProperties:
 
         check()
 
+    def test_connected_components_long_chain(self):
+        """A 300-node path graph has diameter ≈ 300 — far past any plain
+        per-round propagation budget; pointer doubling must converge it
+        (round-2 advice: long chains silently split before)."""
+        import pandas as pd
+
+        from licenta_crawler_ray.pipelines.graph import connected_components
+
+        n = 300
+        edges = pd.DataFrame({"doc_a": np.arange(n - 1),
+                              "doc_b": np.arange(1, n)})
+        got = connected_components(edges, np.arange(n), num_shards=4,
+                                   max_rounds=16)
+        assert (got["group_id"] == 0).all()
+
     def test_extract_text_deterministic_and_idempotent_shape(self):
         from hypothesis import given, settings, strategies as st
 
