@@ -312,67 +312,39 @@ def priority_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     """Large⋈large partitioned hash join (guide §joins): lineitem revenue
     joined to orders on orderkey, aggregated per order priority.
 
-    Neither side is broadcastable at scale, so both are tagged into one
-    common-schema stream with a ``bucket = orderkey % B`` column; a single
-    ``groupby(bucket)`` co-partitions them and each bucket joins pairwise
-    inside ``map_groups`` — an explicit hash-partitioned join (same B both
-    sides; skewed keys would be salted into sub-buckets, unneeded for
-    uniform orderkeys)."""
-    JOIN_SCHEMA = pa.schema([
-        pa.field("orderkey", pa.int64()),
-        pa.field("revenue", pa.float64()),
-        pa.field("o_orderpriority", pa.string()),
-        pa.field("side", pa.string()),
-        pa.field("bucket", pa.int32()),
-    ])
-
-    def _bucket_of(keys: pa.ChunkedArray) -> pa.Array:
-        return pc.cast(
-            pc.bit_wise_and(keys, pa.scalar(num_buckets - 1, pa.int64())), pa.int32()
-        )
+    Neither side is broadcastable at scale; the join is the shared
+    :func:`licenta_crawler_ray.pipelines.joins.hash_join` utility (one
+    tagged-union ``groupby(bucket)`` shuffle, optional skew salting —
+    unneeded for uniform orderkeys). The lineitem side pre-aggregates
+    revenue per orderkey inside ``map_batches`` before the shuffle, and
+    joined rows partial-aggregate per batch before the tiny final
+    priority groupby."""
+    from .joins import hash_join
 
     def left_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        g = (
+        return (
             pa.table({"orderkey": t["l_orderkey"], "revenue": rev})
             .group_by("orderkey").aggregate([("revenue", "sum")])
             .rename_columns(["orderkey", "revenue"])
         )
-        n = g.num_rows
-        return pa.table({
-            "orderkey": g["orderkey"],
-            "revenue": g["revenue"],
-            "o_orderpriority": pa.nulls(n, pa.string()),
-            "side": pa.array(["l"] * n, type=pa.string()),
-            "bucket": _bucket_of(g["orderkey"]),
-        }).cast(JOIN_SCHEMA)
-
-    def right_tag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "orderkey": t["o_orderkey"],
-            "revenue": pa.nulls(n, pa.float64()),
-            "o_orderpriority": t["o_orderpriority"],
-            "side": pa.array(["o"] * n, type=pa.string()),
-            "bucket": _bucket_of(t["o_orderkey"]),
-        }).cast(JOIN_SCHEMA)
 
     left = _pq(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])         .map_batches(left_partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
-    right = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])         .map_batches(right_tag, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+    right = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])         .map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+    )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == "l"][["orderkey", "revenue"]]
-        r = g[g["side"] == "o"][["orderkey", "o_orderpriority"]]
-        m = l.merge(r, on="orderkey")
-        return m.groupby("o_orderpriority", as_index=False).agg(
+    def batch_partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderpriority", as_index=False).agg(
             total_revenue=("revenue", "sum")
         )
 
     out = (
-        left.union(right)
-        .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        hash_join(left, right, "orderkey", num_buckets=num_buckets)
+        .map_batches(batch_partial, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(Sum("total_revenue", alias_name="total_revenue"))
         .to_pandas()

@@ -63,8 +63,9 @@ class Fetcher:
 
         self.ds = pads.dataset(pages_dir, partitioning="hive")
         self.num_buckets = num_buckets
-        self._cache: "OrderedDict[int, tuple[dict, pa.Table]]" = OrderedDict()
+        self._cache: "OrderedDict[int, pa.Table]" = OrderedDict()
         self._cache_nbytes = 0
+        self._size_est: dict[int, int] = {}
         self.cache_bytes = (
             cache_bytes if cache_bytes is not None
             else int(os.environ.get("LCR_FETCH_CACHE_BYTES", self.DEFAULT_CACHE_BYTES))
@@ -96,39 +97,70 @@ class Fetcher:
             url = absolutize(url, nxt)
         return url
 
-    def _insert_cache(self, b: int, idx: dict, t: pa.Table) -> None:
+    def _insert_cache(self, b: int, t: pa.Table) -> None:
         nb = t.nbytes
         while self._cache and self._cache_nbytes + nb > self.cache_bytes:
-            _, (_, old) = self._cache.popitem(last=False)  # LRU eviction
+            _, old = self._cache.popitem(last=False)  # LRU eviction
             self._cache_nbytes -= old.nbytes
-        self._cache[b] = (idx, t)
+        self._cache[b] = t
         self._cache_nbytes += nb
 
-    def _lookup(self, b: int, urls: list[str]) -> tuple[dict, pa.Table]:
-        """(url→row, table) covering ``urls`` of bucket ``b``: the LRU-cached
-        whole-bucket index when it fits the byte budget, else a row-group-
-        pruned filtered scan of just the probed urls."""
+    def _bucket_size_estimate(self, b: int) -> int:
+        """Uncompressed in-memory estimate of bucket ``b``'s probe columns,
+        from parquet row-group METADATA only (no data read) — so an
+        oversized bucket is never loaded-then-discarded (round-2 advice:
+        the old path violated the per-actor RSS ≤ cache_bytes contract by
+        materializing the whole bucket before checking its size)."""
+        est = self._size_est.get(b)
+        if est is not None:
+            return est
+        est = 0
+        want = {"url", "html", "warc_ts"}
+        for frag in self.ds.get_fragments(filter=pc.field("host_bucket") == b):
+            md = frag.metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema.split(".")[0] in want:
+                        est += col.total_uncompressed_size
+        self._size_est[b] = est
+        return est
+
+    def _lookup(self, b: int, urls: list[str]) -> pa.Table:
+        """Bucket table covering ``urls``: the LRU-cached whole bucket when
+        its METADATA size estimate fits the byte budget, else a row-group-
+        pruned filtered scan of just the probed urls. Probing is an Arrow
+        ``index_in`` against the url column (no Python dict index)."""
         hit = self._cache.get(b)
         if hit is not None:
             self._cache.move_to_end(b)
             return hit
         bucket_filter = pc.field("host_bucket") == b
-        if self._cache_nbytes < self.cache_bytes:
+        if (
+            self._cache_nbytes < self.cache_bytes
+            and self._bucket_size_estimate(b) <= self.cache_bytes
+        ):
             t = self.ds.to_table(
                 columns=["url", "html", "warc_ts"], filter=bucket_filter
             )
             if t.nbytes <= self.cache_bytes:
-                idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
-                self._insert_cache(b, idx, t)
-                return idx, t
+                self._insert_cache(b, t.combine_chunks())
+                return self._cache[b]
         # probe mode: ship only the batch's urls to the scan; url min/max
         # statistics prune row groups (corpus written sorted-by-url)
-        t = self.ds.to_table(
+        return self.ds.to_table(
             columns=["url", "html", "warc_ts"],
             filter=bucket_filter & pc.field("url").isin(urls),
         )
-        idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
-        return idx, t
+
+    @staticmethod
+    def _probe_indices(t: pa.Table, urls: list[str]) -> pa.Array:
+        """Row index per probed url (null = miss) via vectorized
+        ``pc.index_in`` — replaces the per-bucket Python url→row dict."""
+        return pc.index_in(
+            pa.array(urls, type=pa.string()), value_set=t.column("url")
+        ).cast(pa.int64())
 
     def prefetch(self, buckets: list[int]) -> int:
         """Warm the given bucket partitions (bucket-affinity), within the
@@ -151,18 +183,17 @@ class Fetcher:
         retries, dead = self._flaky_info(urls)
         if len(distinct) == 1:
             # hot path (blocks are single-bucket by construction): zero-copy
-            # null-aware take — html bytes never pass through Python objects
-            idx, t = self._lookup(int(distinct[0]), urls)
-            raw = [idx.get(u) for u in urls]
-            indices = pa.array(
-                [None if dead[i] else j for i, j in enumerate(raw)], type=pa.int64()
-            )
+            # null-aware take — html bytes never pass through Python objects,
+            # and the probe itself is a vectorized Arrow index_in
+            t = self._lookup(int(distinct[0]), urls)
+            ind0 = self._probe_indices(t, urls)
+            dead_arr = pa.array(dead, type=pa.bool_())
+            indices = pc.if_else(dead_arr, pa.scalar(None, pa.int64()), ind0)
             html = t.column("html").take(indices).combine_chunks()
             ts = t.column("warc_ts").take(indices).combine_chunks()
-            errs = pa.array(
-                ["timeout" if dead[i] else ("" if j is not None else "fetch_miss")
-                 for i, j in enumerate(raw)],
-                type=pa.string(),
+            errs = pc.if_else(
+                dead_arr, pa.scalar("timeout"),
+                pc.if_else(pc.is_null(ind0), pa.scalar("fetch_miss"), pa.scalar("")),
             )
             return batch.append_column("html", html) \
                         .append_column("retrieved_ts", ts) \
@@ -175,16 +206,13 @@ class Fetcher:
         for b in distinct:
             sel = [i for i, ub in enumerate(bucket_col) if ub == b]
             b_urls = [urls[i] for i in sel]
-            idx, t = self._lookup(int(b), b_urls)
-            indices = pa.array(
-                [None if dead[i] else idx.get(u) for i, u in zip(sel, b_urls)],
-                type=pa.int64(),
-            )
-            raw = indices.to_pylist()
-            errs = pa.array(
-                ["timeout" if dead[i] else ("" if j is not None else "fetch_miss")
-                 for i, j in zip(sel, raw)],
-                type=pa.string(),
+            t = self._lookup(int(b), b_urls)
+            ind0 = self._probe_indices(t, b_urls)
+            dead_b = pa.array([dead[i] for i in sel], type=pa.bool_())
+            indices = pc.if_else(dead_b, pa.scalar(None, pa.int64()), ind0)
+            errs = pc.if_else(
+                dead_b, pa.scalar("timeout"),
+                pc.if_else(pc.is_null(ind0), pa.scalar("fetch_miss"), pa.scalar("")),
             )
             parts.append(pa.table({
                 "html": t.column("html").take(indices).combine_chunks(),

@@ -156,6 +156,26 @@ class TestCuckoo:
 
 
 class TestFetcherCache:
+    def test_oversized_bucket_never_materialized(self, small_fixture):
+        """The cache decision reads parquet METADATA only: a bucket whose
+        size estimate exceeds the budget goes straight to the probe scan —
+        it is never loaded whole and then discarded (round-2 advice)."""
+        import pyarrow.dataset as pads
+
+        from licenta_crawler_ray.stages.fetch import Fetcher
+
+        pages = f"{small_fixture}/pages"
+        f = Fetcher(pages, 16, cache_bytes=1024)
+        sample = pads.dataset(pages, partitioning="hive").to_table(
+            columns=["url", "host_bucket"]
+        )
+        b = int(sample.column("host_bucket")[0].as_py())
+        url = sample.column("url")[0].as_py()
+        assert f._bucket_size_estimate(b) > 1024
+        t = f._lookup(b, [url])
+        assert len(f._cache) == 0 and f._cache_nbytes == 0
+        assert t.num_rows == 1 and t.column("url")[0].as_py() == url
+
     def test_byte_capped_probe_parity(self, small_fixture):
         """A Fetcher with a ~zero byte budget must fall back to row-group-
         pruned filtered scans and return IDENTICAL results to the cached
@@ -324,6 +344,34 @@ class TestProperties:
         got = connected_components(edges, np.arange(n), num_shards=4,
                                    max_rounds=16)
         assert (got["group_id"] == 0).all()
+
+    def test_hash_join_skew_salted(self):
+        """The shared partitioned hash join: identical output with and
+        without skew salting, on a 60%-hot key distribution."""
+        import pandas as pd
+        import ray.data as rd
+
+        from licenta_crawler_ray.pipelines.joins import hash_join
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 200, n))
+        left = pd.DataFrame({"k": keys.astype("int64"),
+                             "lv": np.arange(n, dtype="int64")})
+        right = pd.DataFrame({"k": np.arange(200, dtype="int64"),
+                              "rv": np.arange(200, dtype="int64") * 10})
+        expected = left.merge(right, on="k").sort_values(["k", "lv"]) \
+            .reset_index(drop=True)
+        for salt in (1, 4):
+            got = hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k",
+                num_buckets=8, salt=salt,
+            ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+            assert got[expected.columns.tolist()].equals(expected), salt
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="collision"):
+            hash_join(rd.from_pandas(left), rd.from_pandas(left), "k")
 
     def test_extract_text_deterministic_and_idempotent_shape(self):
         from hypothesis import given, settings, strategies as st
