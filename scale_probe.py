@@ -26,8 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-PROBE_DIR = "/tmp/lcr_scale_probe"
-N_DOCS = 100_000
+N_DOCS = int(os.environ.get("LCR_PROBE_DOCS", "100000"))
+PROBE_DIR = f"/tmp/lcr_scale_probe_{N_DOCS}"
 VOCAB = 50_000
 DOC_LEN = 40
 DUP_RATE = 0.05
