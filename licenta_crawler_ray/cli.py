@@ -32,13 +32,26 @@ def _job_hosts(fixture_dir: str) -> list[str]:
 
 
 def cmd_crawl(args: argparse.Namespace) -> int:
+    from .config import load_profile, merge_settings
     from .state.registry import JobActiveError, JobRegistry
 
     # admission (409 + 400 equivalents) runs BEFORE any Ray startup, like the
-    # reference resource validates before launching a crawler thread
+    # reference resource validates before launching a crawler thread; the
+    # profile resolves first so a bad --profile/--config is a 400, not a
+    # half-started job
     job_id = args.job_id or os.path.basename(os.path.abspath(args.workdir))
     registry = JobRegistry(args.registry or _default_registry(args.workdir))
     try:
+        cfg = merge_settings(
+            load_profile(args.profile, args.config),
+            {
+                "engine": args.engine,
+                "host_budget": args.host_budget,
+                "num_cpus": args.num_cpus,
+                "enrich": True if args.enrich else None,
+                "fetch_leaves": False if args.no_fetch_leaves else None,
+            },
+        )
         jobs_path = os.path.join(args.fixture, "jobs.json")
         with open(jobs_path) as f:
             job_specs = json.load(f)
@@ -48,12 +61,18 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         print(json.dumps({"error": str(e), "http_equiv": code}), file=sys.stderr)
         return 1
 
+    num_cpus = int(cfg.get("num_cpus") or os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if cfg.get("fetch_cache_bytes") is not None:
+        # documented per-actor cache seam; exported before ray.init so the
+        # worker processes inherit it
+        os.environ["LCR_FETCH_CACHE_BYTES"] = str(int(cfg["fetch_cache_bytes"]))
+
     import ray
 
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=args.num_cpus,
+            num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
@@ -67,11 +86,11 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         pipe = CrawlPipeline(
             args.fixture,
             args.workdir,
-            fetch_leaves=not args.no_fetch_leaves,
-            host_budget=args.host_budget,
-            fetch_concurrency=max(2, (args.num_cpus * 3) // 4),
-            engine=args.engine,
-            enrich=args.enrich,
+            fetch_leaves=cfg.get("fetch_leaves", True),
+            host_budget=cfg.get("host_budget", 256),
+            fetch_concurrency=max(2, (num_cpus * 3) // 4),
+            engine=cfg.get("engine", "bucket"),
+            enrich=bool(cfg.get("enrich", False)),
         )
         summary = pipe.run(resume=args.resume)
     except ValueError as e:  # job admission failure → HTTP-400 equivalent
@@ -152,12 +171,19 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("crawl", help="run a crawl over a fixture corpus (POST /jobs analogue)")
     c.add_argument("--fixture", required=True, help="fixture dir (pages/ + jobs.json + robots.json)")
     c.add_argument("--workdir", required=True, help="checkpoint/output dir")
-    c.add_argument("--engine", default="bucket",
-                   choices=["bucket", "pool", "ray_data", "ray_data_distributed"])
-    c.add_argument("--host-budget", type=int, default=256)
-    c.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    c.add_argument("--engine", default=None,
+                   choices=["bucket", "pool", "ray_data", "ray_data_distributed"],
+                   help="default: profile value, else bucket")
+    c.add_argument("--host-budget", type=int, default=None)
+    c.add_argument("--num-cpus", type=int, default=None,
+                   help="default: profile value, else $RAY_GRAFT_CPUS or 32")
     c.add_argument("--no-fetch-leaves", action="store_true")
     c.add_argument("--enrich", action="store_true")
+    c.add_argument("--profile", default=None,
+                   help="named settings profile (builtin: local|debug|production, "
+                        "or from --config) — the reference's Maven-profile surface")
+    c.add_argument("--config", default=None,
+                   help="JSON config file with {profiles: {...}, default_profile}")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--job-id", default=None,
                    help="job identifier for the registry (default: workdir basename)")

@@ -97,3 +97,61 @@ class TestCli409:
         st = json.loads(s.stdout.strip().splitlines()[-1])
         assert st["job"]["status"] == "done" and not st["job"]["active"]
         assert st["workdir"] == wd and st["committed"] > 0
+
+
+def test_config_profiles(tmp_path):
+    """Profile resolution: builtin defaults < config-file profile < explicit
+    CLI values; unknown keys and names are 400-style errors."""
+    import json
+
+    import pytest
+
+    from licenta_crawler_ray.config import load_profile, merge_settings
+
+    # builtin
+    p = load_profile("production")
+    assert p["engine"] == "bucket" and p["enrich"] is True
+
+    # config file shadows a builtin and defines its own default
+    cfgp = tmp_path / "lcr.json"
+    cfgp.write_text(json.dumps({
+        "default_profile": "prod2",
+        "profiles": {"prod2": {"engine": "pool", "host_budget": 32},
+                     "production": {"host_budget": 1024}},
+    }))
+    assert load_profile(None, str(cfgp))["engine"] == "pool"
+    shadowed = load_profile("production", str(cfgp))
+    assert shadowed["host_budget"] == 1024 and shadowed["engine"] == "bucket"
+
+    # CLI override precedence (None = not set on the command line)
+    merged = merge_settings(load_profile("prod2", str(cfgp)),
+                            {"engine": None, "host_budget": 7})
+    assert merged["engine"] == "pool" and merged["host_budget"] == 7
+
+    with pytest.raises(ValueError, match="unknown profile"):
+        load_profile("nope")
+    cfgp.write_text(json.dumps({"profiles": {"x": {"warp_speed": 9}}}))
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_profile("x", str(cfgp))
+
+
+def test_cli_crawl_with_profile(tmp_path, tiny_fixture):
+    """The crawl CLI accepts --profile/--config and the run completes with
+    profile-driven settings (debug profile → pool engine, small budget)."""
+    import json
+
+    from licenta_crawler_ray.cli import main
+
+    wd = str(tmp_path / "cfg_job")
+    reg = str(tmp_path / "reg.json")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["crawl", "--fixture", tiny_fixture, "--workdir", wd,
+                   "--profile", "debug", "--num-cpus", "4",
+                   "--registry", reg])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["visited_rows"] > 0
