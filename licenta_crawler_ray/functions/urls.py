@@ -69,9 +69,21 @@ def same_host(a: str, b: str) -> bool:
 # ---------------------------------------------------------------------------
 
 def hosts_of_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized ``host_of_url`` over an Arrow string array."""
-    return pa.array([host_of_url(u) if u is not None else "" for u in urls.to_pylist()],
-                    type=pa.string())
+    """Vectorized ``host_of_url`` over an Arrow string array of ABSOLUTE
+    urls — one ``extract_regex`` kernel, no per-row Python. Matches
+    ``host_of_url`` exactly on scheme-qualified urls (property-tested);
+    scheme-less input (which the validators reject upstream) yields ''."""
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(
+        urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?(?P<h>[^/?#:@]*)"
+    )
+    host = pc.struct_field(m, "h")
+    return pc.if_else(
+        pc.is_null(host), pa.scalar("", pa.string()), pc.utf8_lower(host)
+    )
 
 
 _FNV64_OFFSET = np.uint64(0xCBF29CE484222325)

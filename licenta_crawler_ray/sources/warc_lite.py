@@ -68,7 +68,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..functions.urls import fnv1a64, hash_strings, host_of_url
+from ..functions.urls import fnv1a64, hash_strings, hosts_of_urls
 from ..schemas import PAGES_SCHEMA
 
 MAGIC = b"WARC-LITE/1\n"
@@ -357,7 +357,7 @@ def ingest_warc_lite(
     done = np.array(skipped, dtype=np.int64)
 
     def tag(t: pa.Table) -> pa.Table:
-        hosts = pa.array([host_of_url(u) for u in t.column("url").to_pylist()])
+        hosts = hosts_of_urls(t.column("url"))
         b = (hash_strings(hosts) % np.uint64(num_buckets)).astype(np.int32)
         t = t.append_column("host_bucket", pa.array(b))
         if len(done):

@@ -21,6 +21,31 @@ class TestUrlFns:
         assert U.host_of_url("http://user:pw@h.com/p") == "h.com"
         assert U.host_of_url("not a url") == ""
 
+    def test_hosts_of_urls_matches_scalar(self):
+        """The Arrow extract_regex kernel ≡ the scalar urlparse form on
+        absolute urls (property-tested over adversarial paths/ports/userinfo)."""
+        from hypothesis import given, settings, strategies as st
+
+        host_chars = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-",
+            min_size=1, max_size=20)
+        tail = st.text(alphabet="abc/:?#@%.=&~ ", max_size=15)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from(["http", "https", "ftp"]),
+                      st.sampled_from(["", "user@", "u:p@"]),
+                      host_chars,
+                      st.sampled_from(["", ":80", ":8080"]),
+                      tail),
+            min_size=1, max_size=20))
+        def check(parts):
+            urls = [f"{s}://{ui}{h}{port}/{t}" for s, ui, h, port, t in parts]
+            got = U.hosts_of_urls(pa.array(urls, type=pa.string())).to_pylist()
+            assert got == [U.host_of_url(u) for u in urls]
+
+        check()
+
     def test_absolutize(self):
         assert U.absolutize("http://h.com/shelf/1", "/product/2") == "http://h.com/product/2"
         assert U.absolutize("http://h.com/a/b", "../c") == "http://h.com/c"
