@@ -156,6 +156,39 @@ def cmd_status(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Archive → corpus ingest (``ray job submit``-able): WARC-lite or real
+    WARC/1.0 segments into the engine's hive ``host_bucket={b}/`` layout,
+    worker-side and resumable per bucket (see ``sources/warc_lite.py``)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from .sources.warc_lite import ingest_warc_lite
+
+    try:
+        summary = ingest_warc_lite(
+            args.warc_dir, args.pages_dir,
+            num_buckets=args.num_buckets, resume=not args.no_resume,
+        )
+    except (OSError, ValueError) as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 1
+    finally:
+        ray.shutdown()
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from .fixtures.gen import BENCH, SMALL, TINY, generate
 
@@ -196,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--job-id", default=None)
     st.add_argument("--registry", default=None)
     st.set_defaults(fn=cmd_status)
+
+    ing = sub.add_parser("ingest", help="WARC(-lite) archives → hive pages corpus")
+    ing.add_argument("--warc-dir", required=True)
+    ing.add_argument("--pages-dir", required=True)
+    ing.add_argument("--num-buckets", type=int, default=16)
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.add_argument("--no-resume", action="store_true",
+                     help="rewrite committed bucket partitions instead of skipping")
+    ing.set_defaults(fn=cmd_ingest)
 
     g = sub.add_parser("gen", help="generate a synthetic CC-style corpus")
     g.add_argument("scale", choices=["tiny", "small", "bench"])

@@ -79,6 +79,33 @@ def test_crawl_over_ingested_warc_corpus(tiny_fixture, tmp_path, writer):
     assert not s2["written"] and s2["skipped"]
 
 
+def test_cli_ingest(tiny_fixture, tmp_path):
+    """`cli ingest` drives the archive→corpus path: summary JSON on stdout,
+    resume skip on the second invocation."""
+    import contextlib
+    import io
+    import json
+
+    from licenta_crawler_ray.cli import main
+
+    warc = str(tmp_path / "warc")
+    write_warc(os.path.join(tiny_fixture, "pages"), warc, records_per_file=64)
+    pages = str(tmp_path / "pages_cli")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["ingest", "--warc-dir", warc, "--pages-dir", pages,
+                   "--num-cpus", "4"])
+    assert rc == 0
+    s = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert s["written"] and not s["skipped"] and s["rows"] > 0
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc2 = main(["ingest", "--warc-dir", warc, "--pages-dir", pages,
+                    "--num-cpus", "4"])
+    s2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rc2 == 0 and not s2["written"] and s2["skipped"] == s["written"]
+
+
 def test_read_documents_formats_agree(tmp_path):
     """parquet / jsonl / csv sources of the same corpus normalize to
     identical Datasets."""
