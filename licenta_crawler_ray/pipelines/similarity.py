@@ -27,6 +27,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
@@ -42,6 +43,29 @@ def _emb(sf_dir: str, columns=None, filter=None) -> rd.Dataset:
 
 def _to_matrix(df: pd.DataFrame) -> np.ndarray:
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _arrow_matrix(t) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, matrix) from an Arrow batch — ZERO-COPY: the list column's
+    flat value buffer reshapes to (n, dim) without touching Python objects
+    (``np.stack`` over an object column costs ~1 µs/row and was the
+    per-batch floor of every scorer). Embeddings are fixed-width by
+    contract; ragged input raises."""
+    ids = t.column("vec_id").to_numpy()
+    col = t.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged embedding column")
+    # the list array may be a slice: its values start at offsets[0]
+    m = vals[offs[0]: offs[0] + len(widths) * dim].reshape(len(widths), dim)
+    return ids, m.astype(np.float64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -71,10 +95,10 @@ class KnnScorer:
         self.qnorm = _normalize(qmatrix)
         self.k = k
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_to_matrix(df))
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ids, m = _arrow_matrix(t)
+        m = _normalize(m)
         sims = self.qnorm @ m.T  # (Q, B)
-        ids = df["vec_id"].to_numpy()
         out = []
         kk = min(self.k + 1, sims.shape[1])  # +1: self may be present
         for qi, qid in enumerate(self.qids):
@@ -116,7 +140,7 @@ def embedding_knn(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFram
     scorer = KnnScorer(qdf["vec_id"].to_numpy(), _to_matrix(qdf), k)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        scorer, batch_format="pandas"
+        scorer, batch_format="pyarrow"
     ).to_pandas()
     return _rank_partials(partials, k)
 
@@ -163,34 +187,43 @@ def embedding_neardup_pairs_ivf(
     """
     cent = _ivf_centroids(sf_dir, num_centroids)
 
-    def assign_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_to_matrix(df))
+    def assign_buckets(t: pa.Table) -> pa.Table:
+        ids, m = _arrow_matrix(t)
+        mn = _normalize(m)
+        n = len(ids)
         R = min(assign, cent.shape[0])
-        top = np.argpartition(-(m @ cent.T), R - 1, axis=1)[:, :R]
-        return pd.DataFrame({
-            "bucket": top.reshape(-1).astype(np.int32),
-            "vec_id": np.repeat(df["vec_id"].to_numpy(), R),
-            "embedding": df["embedding"].to_numpy().repeat(R),
+        top = np.argpartition(-(mn @ cent.T), R - 1, axis=1)[:, :R]
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        rep = np.repeat(np.arange(n, dtype=np.int64), R)
+        return pa.table({
+            "bucket": pa.array(top.reshape(-1).astype(np.int32)),
+            "vec_id": pa.array(np.repeat(ids, R)),
+            "embedding": emb.take(pa.array(rep)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates("vec_id")
-        ids = u["vec_id"].to_numpy()
-        m = _normalize(_to_matrix(u))
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids, m = _arrow_matrix(g)
+        first = np.full(len(ids), True)
+        order = np.argsort(ids, kind="stable")
+        sid = ids[order]
+        first[order[1:]] = sid[1:] != sid[:-1]  # first occurrence per vec_id
+        ids, m = ids[first], _normalize(m[first])
         sims = m @ m.T
         ai, bi = np.nonzero(sims >= threshold)
         a_ids, b_ids = ids[ai], ids[bi]
         keep = a_ids < b_ids
-        return pd.DataFrame({
-            "vec_a": a_ids[keep].astype("int64"),
-            "vec_b": b_ids[keep].astype("int64"),
+        return pa.table({
+            "vec_a": pa.array(a_ids[keep].astype("int64")),
+            "vec_b": pa.array(b_ids[keep].astype("int64")),
         })
 
     out = (
         _emb(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(assign_buckets, batch_format="pandas")
+        .map_batches(assign_buckets, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     # a pair sharing several buckets emits once per shared bucket; the final
@@ -212,11 +245,10 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
     class BlockScore:
         def __init__(self):
             d = ray.get(mat_ref)
-            self.ids, self.m = d["ids"], d["matrix"]
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+            self.ids, self.m = d["ids"], d["matrix"]  # ids sorted ascending
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = np.array([self.pos[int(v)] for v in df["vec_id"]])
+            rows = np.searchsorted(self.ids, df["vec_id"].to_numpy())
             sims = self.m[rows] @ self.m.T
             ai, bi = np.nonzero(sims >= threshold)
             a_ids = self.ids[rows[ai]]
@@ -280,9 +312,9 @@ def embedding_knn_lsh(
             self.planes, self.wanted = planes, wanted_mask
             self.qids, self.qm = qids, qm
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_to_matrix(df))
-            ids = df["vec_id"].to_numpy()
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ids, m = _arrow_matrix(t)
+            m = _normalize(m)
             # signatures for all tables in one shot: (n, T) bucket ids →
             # packed (table, bucket) keys → OR-reduce the query bitmasks
             proj = m @ self.planes.reshape(-1, m.shape[1]).T  # (n, T*P) one matmul
@@ -308,7 +340,7 @@ def embedding_knn_lsh(
             return pd.concat(frames, ignore_index=True)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        LshScorer(), batch_format="pandas"
+        LshScorer(), batch_format="pyarrow"
     ).to_pandas()
     return _rank_partials(partials, k)
 
@@ -343,10 +375,10 @@ def embedding_knn_ivf(
             self.qids, self.qm = qdf["vec_id"].to_numpy(), qm
             self.qpos = {int(v): i for i, v in enumerate(self.qids)}
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_to_matrix(df))
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ids, m = _arrow_matrix(t)
+            m = _normalize(m)
             buckets = np.argmax(m @ self.cent.T, axis=1)
-            ids = df["vec_id"].to_numpy()
             frames = []
             for b in np.unique(buckets):
                 qids = self.wanted.get(int(b))
@@ -369,6 +401,6 @@ def embedding_knn_ivf(
             return pd.concat(frames, ignore_index=True)
 
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        IvfScorer(), batch_format="pandas"
+        IvfScorer(), batch_format="pyarrow"
     ).to_pandas()
     return _rank_partials(partials, k)
