@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": sim.embedding_knn,                 # SQL-checked
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,  # SQL-checked (exact)
         "embedding_neardup_pairs_ivf": sim.embedding_neardup_pairs_ivf,  # approx; rows-only
+        "embedding_neardup_dedup": sim.embedding_neardup_dedup,  # SQL-checked (recursive CC)
         "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
         "embedding_knn_lsh": sim.embedding_knn_lsh,         # approx; rows-only
     }
@@ -271,5 +272,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY 1, 2
+        """,
+        "embedding_neardup_dedup": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+            edges AS (
+              SELECT va AS u, vb AS v FROM pairs
+              UNION ALL SELECT vb, va FROM pairs),
+            reach(u, v) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+            SELECT u AS vec_id, min(v) AS group_id FROM reach
+            GROUP BY u ORDER BY vec_id
         """,
     }

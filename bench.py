@@ -37,6 +37,7 @@ QUERY_NAMES = [
     "token_hist", "top_terms_per_lang", "quality_filter", "corpus_split",
     "embedding_knn",
     "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
+    "embedding_neardup_dedup",
     "embedding_knn_ivf",
 ]
 

@@ -266,6 +266,27 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def embedding_neardup_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Duplicate-CLUSTER assignment over embedding near-dup edges:
+    (vec_id, group_id) with group_id = min vec id reachable through
+    cosine ≥ threshold pairs — the embedding-side mirror of the text
+    pipeline's ``neardup_dedup``, SQL-checked end-to-end against a DuckDB
+    recursive CTE. Pairs come from the exact operator (the SQL-checked
+    form); clustering is the same distributed min-label propagation
+    (:mod:`licenta_crawler_ray.pipelines.graph`), so the pair list never
+    has to fit on the driver. At corpus scale, swap the pair source for
+    :func:`embedding_neardup_pairs_ivf` + the sharded edge sink, exactly
+    as ``neardup_dedup_minhash`` does for text."""
+    from .graph import connected_components
+
+    pairs = embedding_neardup_pairs(sf_dir, threshold).rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    ids = _emb(sf_dir, columns=["vec_id"]).to_pandas()["vec_id"].to_numpy()
+    out = connected_components(pairs, ids)
+    return out.rename(columns={"doc_id": "vec_id"})
+
+
 def embedding_knn_lsh(
     sf_dir: str, num_queries: int = 5, k: int = 10,
     num_planes: int = 4, num_tables: int = 16,
