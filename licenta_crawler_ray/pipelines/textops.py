@@ -52,6 +52,23 @@ def _pool() -> tuple[int, int]:
     return (1, max(2, cpus - 2))
 
 
+def _shuffle_partitions() -> int:
+    """Block count to coalesce to immediately before a groupby shuffle.
+
+    Ray's sort-based shuffle cost is dominated by per-block scheduling, not
+    by bytes, when the input arrives as hundreds of small map-output blocks
+    (measured at 1M docs: candidate groupby 27 s from 300 blocks → 17 s
+    after repartition(32); remote sort compute was ~5 CPU-s either way).
+    2 × session CPUs keeps every core busy in the reduce while cutting the
+    task count an order of magnitude; on a real cluster this scales with
+    the cluster's CPU total."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, 2 * cpus)
+
+
 # Stage-dispatch policy (measured): an ActorPoolMapOperator pays ~1-2 s of
 # pool spin-up PER Dataset execution. That's the right trade only when
 # per-actor setup is genuinely expensive (corpus handles, models, big
@@ -473,6 +490,7 @@ def _verify_pairs_ds(cand: rd.Dataset, sf_dir: str, threshold: float) -> rd.Data
     pairs_wide = cand.map_batches(pair_wide, batch_format="pyarrow")
     return (
         sets.union(pairs_wide)
+        .repartition(_shuffle_partitions())  # coalesce before the shuffle
         .groupby("bucket")
         .map_groups(_make_cell_scorer(threshold), batch_format="pyarrow")
     )
@@ -755,7 +773,8 @@ def minhash_lsh_pairs_ds(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     never ``to_pandas``."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
-    cand = bands.groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
+    cand = bands.repartition(_shuffle_partitions()) \
+        .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs_ds(cand, sf_dir, threshold)
 
 
@@ -843,7 +862,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
-    cand = bands.groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
+    cand = bands.repartition(_shuffle_partitions()) \
+        .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs(cand, sf_dir, threshold)
 
 
