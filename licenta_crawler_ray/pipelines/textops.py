@@ -664,39 +664,79 @@ class MinHasher:
         vals = (hs[:, None] * self.a[None, :]) + self.b[None, :]
         return vals.min(axis=0)
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
-        """Vectorized batch signatures — one reduceat over doc segments."""
-        doc_shingles = [sorted(self._shingles(t)) for t in texts]
-        counts = np.array([len(s) for s in doc_shingles], dtype=np.int64)
-        sigs = np.full((len(texts), NUM_PERM), np.uint64(2**63), dtype=np.uint64)
-        flat = [w for ds_ in doc_shingles for w in ds_]
-        if not flat:
+    def _sig_matrix(self, hs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Signatures from concatenated per-doc hash segments (dups in a
+        segment are harmless — min() ignores them).
+
+        Permutations in chunks of 8: the (F × chunk) product stays
+        cache-resident instead of materializing an F × 128 (tens-of-MB)
+        matrix — measured 1.8× faster solo and far better under full
+        worker occupancy, where the big matrix's DRAM traffic caused a
+        5× per-worker derate (ds.stats: 0.7 s/task solo → 3.5 s mean)."""
+        n = len(counts)
+        sigs = np.full((n, NUM_PERM), np.uint64(2**63), dtype=np.uint64)
+        if not len(hs):
             return sigs
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        uh = hash_strings(pa.array(uniq, type=pa.string()))
-        hs = uh[codes]  # (F,) uint64, in doc-concatenation order
         nz = counts > 0
-        offs = np.zeros(len(counts), dtype=np.int64)
+        offs = np.zeros(n, dtype=np.int64)
         offs[1:] = np.cumsum(counts[:-1])
         onz = offs[nz]
-        # permutations in chunks of 8: the (F × chunk) product stays
-        # cache-resident instead of materializing an F × 128 (tens-of-MB)
-        # matrix — measured 1.8× faster solo and far better under full
-        # worker occupancy, where the big matrix's DRAM traffic caused a
-        # 5× per-worker derate (ds.stats: 0.7 s/task solo → 3.5 s mean)
         C = 8
         for c0 in range(0, NUM_PERM, C):
             vals = hs[:, None] * self.a[None, c0:c0 + C] + self.b[None, c0:c0 + C]
             sigs[nz, c0:c0 + C] = np.minimum.reduceat(vals, onz, axis=0)
         return sigs
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = self.signatures(df["text"].tolist())
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Batch signatures from Python strings (shingle>1 path / tests)."""
+        doc_shingles = [sorted(self._shingles(t)) for t in texts]
+        counts = np.array([len(s) for s in doc_shingles], dtype=np.int64)
+        flat = [w for ds_ in doc_shingles for w in ds_]
+        if not flat:
+            return self._sig_matrix(np.empty(0, np.uint64), counts)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        uh = hash_strings(pa.array(uniq, type=pa.string()))
+        return self._sig_matrix(uh[codes], counts)
+
+    def signatures_arrow(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """Vectorized unigram path: tokens never become Python objects.
+        ``utf8_split_whitespace`` matches ``str.split()`` except for empty
+        tokens at whitespace runs/boundaries, which a byte-length mask
+        drops (property-tested against :meth:`signature`); per-doc distinct
+        hashes come from one lexsort + boundary scan over the flat token
+        hash array. 3× less per-doc CPU than the factorize form (the
+        MinHash stage was the dedup pipeline's top compute after round 3's
+        shuffle fixes)."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        toks = pc.utf8_split_whitespace(texts)
+        lens = np.diff(toks.offsets.to_numpy())
+        flat = toks.values
+        h = hash_strings(flat)
+        seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+        h, seg = h[nonempty], seg[nonempty]
+        if len(h) == 0:
+            return self._sig_matrix(h, np.zeros(n, dtype=np.int64))
+        order = np.lexsort((h, seg))
+        h_s, seg_s = h[order], seg[order]
+        keep = np.r_[True, (seg_s[1:] != seg_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        h_u, seg_u = h_s[keep], seg_s[keep]
+        return self._sig_matrix(h_u, np.bincount(seg_u, minlength=n))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        df_ids = t.column("doc_id").to_numpy()
+        if self.shingle == 1:
+            sigs = self.signatures_arrow(t.column("text"))
+        else:
+            sigs = self.signatures(t.column("text").to_pylist())
+        n = len(df_ids)
         # explode to (bucket, band_id, band_hash, doc_id) rows
-        rows = {"doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
-                "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), len(df))}
-        bands = sigs.reshape(len(df), NUM_BANDS, ROWS_PER_BAND)
-        bh = np.zeros((len(df), NUM_BANDS), dtype=np.uint64)
+        rows = {"doc_id": np.repeat(df_ids, NUM_BANDS),
+                "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)}
+        bands = sigs.reshape(n, NUM_BANDS, ROWS_PER_BAND)
+        bh = np.zeros((n, NUM_BANDS), dtype=np.uint64)
         for r in range(ROWS_PER_BAND):
             bh = bh * np.uint64(0x100000001B3) + bands[:, :, r]
         rows["band_hash"] = bh.reshape(-1).astype("int64")
@@ -709,7 +749,7 @@ class MinHasher:
         # wrongly believes an earlier band emitted the pair and DROPS it —
         # a lost candidate at ~2^-64 probability, accepted as negligible
         # (comment direction fixed per round-2 advice).
-        pre = np.zeros((len(df), NUM_BANDS), dtype=np.uint64)
+        pre = np.zeros((n, NUM_BANDS), dtype=np.uint64)
         for k in range(1, NUM_BANDS):
             pre[:, k] = pre[:, k - 1] * np.uint64(0x9E3779B97F4A7C15) + bh[:, k - 1]
         rows["prefix_hash"] = pre.reshape(-1).astype("int64")
@@ -718,7 +758,7 @@ class MinHasher:
         rows["bucket"] = (
             (bh.reshape(-1) ^ np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_PAIR_PARTITIONS)
         ).astype("int32")
-        return pd.DataFrame(rows)
+        return pa.table(rows)
 
 
 def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -772,7 +812,7 @@ def minhash_lsh_pairs_ds(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     pair list is big data; consume this with :func:`write_neardup_pairs`,
     never ``to_pandas``."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
+    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pyarrow")
     cand = bands.repartition(_shuffle_partitions()) \
         .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs_ds(cand, sf_dir, threshold)
@@ -861,7 +901,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     at J=0.8 in tests.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pandas")
+    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pyarrow")
     cand = bands.repartition(_shuffle_partitions()) \
         .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs(cand, sf_dir, threshold)

@@ -370,6 +370,29 @@ class TestProperties:
                                    max_rounds=16)
         assert (got["group_id"] == 0).all()
 
+    def test_minhash_arrow_tokenization_matches_frozen_spec(self):
+        """The Arrow split/hash signature path ≡ the scalar frozen-spec
+        ``signature()`` per doc, including whitespace runs, empties, and
+        exotic unicode separators."""
+        from hypothesis import given, settings, strategies as st
+
+        from licenta_crawler_ray.pipelines.textops import MinHasher
+
+        mh = MinHasher()
+        word = st.text(alphabet="abcdefgé0.,!", min_size=1, max_size=8)
+        sep = st.sampled_from([" ", "  ", "\t", "\n", " \x0b ", " ", "\x1c"])
+        doc = st.lists(st.tuples(word, sep), max_size=12).map(
+            lambda ps: "".join(w + s for w, s in ps))
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=8))
+        def check(texts):
+            got = mh.signatures_arrow(pa.array(texts, type=pa.string()))
+            for i, t in enumerate(texts):
+                assert (got[i] == mh.signature(t)).all(), repr(t)
+
+        check()
+
     def test_hash_join_skew_salted(self):
         """The shared partitioned hash join: identical output with and
         without skew salting, on a 60%-hot key distribution."""
