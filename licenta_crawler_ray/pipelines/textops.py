@@ -782,7 +782,18 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     starts = np.flatnonzero(new_grp)
     sizes = np.diff(np.r_[starts, len(ids)])
     outs = []
-    for gi in np.flatnonzero(sizes >= 2):  # colliding buckets only
+    # size-2 buckets — the overwhelming majority of collisions on realistic
+    # corpora — emit in one vectorized pass (the per-bucket loop below cost
+    # ~27 CPU-s at 1M docs, mostly on 2-element groups)
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a2, b2 = ids[s2], ids[s2 + 1]
+        valid = a2 != b2  # same doc twice in one (band,hash) → no pair
+        nz = band[s2] != 0  # emit-at-first-colliding-band (see MinHasher)
+        valid &= ~nz | (pre[s2] != pre[s2 + 1])
+        if valid.any():
+            outs.append(np.stack([a2[valid], b2[valid]], axis=1))
+    for gi in np.flatnonzero(sizes >= 3):  # larger colliding buckets only
         s, e = starts[gi], starts[gi] + sizes[gi]
         gids, gpre = ids[s:e], pre[s:e]
         keep_u = np.r_[True, gids[1:] != gids[:-1]]  # sorted → dedup docs
