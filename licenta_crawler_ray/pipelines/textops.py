@@ -1202,6 +1202,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     out = (
         sig.map_batches(explode, batch_format="pandas")
+        .repartition(_shuffle_partitions())  # coalesce before the shuffle
         .groupby("bucket")
         .map_groups(_make_block_pairer(max_hamming), batch_format="pandas")
         .to_pandas()
