@@ -167,14 +167,12 @@ def _ivf_centroids(
     return cent
 
 
-def embedding_neardup_pairs_ivf(
+def _ivf_pairs_ds(
     sf_dir: str, threshold: float = 0.45,
     num_centroids: int = 16, assign: int = 6,
-) -> pd.DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup,
-    IVF-bucketed (the 10^9-vector shape). APPROXIMATE by construction;
-    registered rows-only, with equality vs the exact operator measured in
-    tests at every fixture scale.
+) -> rd.Dataset:
+    """Streaming IVF-bucketed near-dup pair Dataset (may contain a few
+    cross-bucket duplicate pair rows — consumers dedup where they land).
 
     Each vector multi-assigns to its ``assign`` nearest centroids (rows
     explode ×assign); one ``groupby(bucket)`` co-locates candidate
@@ -219,15 +217,25 @@ def embedding_neardup_pairs_ivf(
             "vec_b": pa.array(b_ids[keep].astype("int64")),
         })
 
-    out = (
+    return (
         _emb(sf_dir, columns=["vec_id", "embedding"])
         .map_batches(assign_buckets, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
     )
-    # a pair sharing several buckets emits once per shared bucket; the final
-    # (small, already thresholded) result dedups driver-side
+
+
+def embedding_neardup_pairs_ivf(
+    sf_dir: str, threshold: float = 0.45,
+    num_centroids: int = 16, assign: int = 6,
+) -> pd.DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold — embedding near-dup,
+    IVF-bucketed (the 10^9-vector shape). APPROXIMATE by construction;
+    registered rows-only, with equality vs the exact operator measured in
+    tests at every fixture scale. A pair sharing several buckets emits
+    once per shared bucket; this driver form dedups the (small, already
+    thresholded) result — the streaming form is :func:`_ivf_pairs_ds`."""
+    out = _ivf_pairs_ds(sf_dir, threshold, num_centroids, assign).to_pandas()
     out = out.drop_duplicates()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
@@ -285,6 +293,57 @@ def embedding_neardup_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFram
     ids = _emb(sf_dir, columns=["vec_id"]).to_pandas()["vec_id"].to_numpy()
     out = connected_components(pairs, ids)
     return out.rename(columns={"doc_id": "vec_id"})
+
+
+def embedding_neardup_dedup_to_parquet(
+    sf_dir: str, workdir: str, threshold: float = 0.45, num_shards: int = 16,
+) -> dict:
+    """END-TO-END embedding dedup, driver-free — the vector mirror of
+    ``textops.neardup_dedup_to_parquet``:
+
+      IVF-bucketed pair scan → shard-partitioned symmetric edge sink →
+      CC actor shards (each self-loads its edge partition AND its vec_id
+      node partition from the embeddings parquet) → per-shard
+      cluster-assignment parquet parts.
+
+    Neither the pair list, the edge set, nor the cluster map passes
+    through the driver — only this summary dict does."""
+    import shutil
+
+    from .graph import connected_components_from_edge_partitions
+
+    edges_dir = os.path.join(workdir, "edges")
+    clusters_dir = os.path.join(workdir, "clusters")
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(clusters_dir, ignore_errors=True)
+
+    cent = _ivf_centroids(sf_dir, 16)
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("vec_a").to_numpy()
+        b = t.column("vec_b").to_numpy()
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "shard": pa.array((u % num_shards).astype(np.int32)),
+            "u": pa.array(u), "v": pa.array(v),
+        })
+
+    # streaming: IVF pair Dataset → symmetric edges → sharded parquet
+    # (duplicate pair rows from multi-bucket overlap become duplicate
+    # edges, which min-label propagation is insensitive to)
+    _ivf_pairs_ds(sf_dir, threshold).map_batches(
+        explode, batch_format="pyarrow"
+    ).write_parquet(edges_dir, partition_cols=["shard"])
+    n = connected_components_from_edge_partitions(
+        edges_dir, os.path.join(sf_dir, "embeddings.parquet"),
+        num_shards, write_dir=clusters_dir, id_column="vec_id",
+    )
+    n_groups = len(
+        rd.read_parquet(clusters_dir, columns=["group_id"]).unique("group_id")
+    )
+    return {"workdir": workdir, "vectors": int(n), "clusters": int(n_groups),
+            "removed": int(n - n_groups)}
 
 
 def embedding_knn_lsh(

@@ -88,6 +88,27 @@ def test_embedding_neardup_ivf_equals_exact():
     assert embedding_neardup_pairs_ivf(SF_DIR).equals(embedding_neardup_pairs(SF_DIR))
 
 
+def test_embedding_neardup_dedup_to_parquet_driver_free(tmp_path):
+    """The driver-free embedding dedup (IVF pairs → sharded edge sink →
+    self-loading CC shards → per-shard cluster parquet) produces the same
+    cluster assignment as the exact-pair driver query."""
+    import ray.data as rd
+
+    from licenta_crawler_ray.pipelines.similarity import (
+        embedding_neardup_dedup, embedding_neardup_dedup_to_parquet,
+    )
+
+    s = embedding_neardup_dedup_to_parquet(SF_DIR, str(tmp_path / "wd"))
+    q = embedding_neardup_dedup(SF_DIR)
+    assert s["vectors"] == len(q) and s["clusters"] == q["group_id"].nunique()
+    got = (
+        rd.read_parquet(str(tmp_path / "wd" / "clusters"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == q["vec_id"].to_numpy()).all()
+    assert (got["group_id"].to_numpy() == q["group_id"].to_numpy()).all()
+
+
 def test_minhash_unbounded_vocab(tmp_path):
     """The verify join must work on corpora far beyond the old 512-word cap."""
     import numpy as np
