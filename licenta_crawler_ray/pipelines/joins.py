@@ -100,13 +100,8 @@ def hash_join(
         m = l.merge(r, on=key)
         return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
 
-    from .textops import _shuffle_partitions
-
-    return (
-        tl.union(tr)
-        .repartition(_shuffle_partitions())  # coalesce before the shuffle
-        .groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
+    return tl.union(tr).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
     )
 
 

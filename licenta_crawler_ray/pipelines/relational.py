@@ -35,8 +35,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
-from .textops import _shuffle_partitions
-
 _PARTIAL_BATCH = 65536  # large partial-agg batches → fewer shuffle rows
 
 
@@ -274,7 +272,6 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     out = (
         _pq(sf_dir, "events", columns=["user_id", "event_id", "ts"])
         .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
-        .repartition(_shuffle_partitions())  # coalesce before the shuffle
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
@@ -300,7 +297,6 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out = (
         _pq(sf_dir, "events", columns=["user_id", "event_id", "value"])
         .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
-        .repartition(_shuffle_partitions())  # coalesce before the shuffle
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()

@@ -61,7 +61,13 @@ def _shuffle_partitions() -> int:
     after repartition(32); remote sort compute was ~5 CPU-s either way).
     2 × session CPUs keeps every core busy in the reduce while cutting the
     task count an order of magnitude; on a real cluster this scales with
-    the cluster's CPU total."""
+    the cluster's CPU total.
+
+    Applied only in the corpus-scale dedup pipelines, whose upstream block
+    counts grow with the documents table (repartition targets an EXACT
+    count, so on a tiny input it would split 2 blocks into 64 — measured
+    as a flat ~0.3-0.5 s overhead on the small relational/window ops,
+    which therefore do not use it)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
