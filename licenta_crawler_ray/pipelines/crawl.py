@@ -42,7 +42,7 @@ from ..oracle import DOC_MAX, admit_job, load_jobs, load_robots
 from ..stages.fetch import add_host_bucket
 from ..stages.process import OUT_SCHEMA, first_wins
 from ..stages.worker import FetchProcess
-from ..state.politeness import PolitenessClock, RobotRules
+from ..state.politeness import PolitenessClock, RobotRules, select_with_clock
 from ..state.seen import SeenSet
 
 FRONTIER_COLS = [
@@ -200,27 +200,12 @@ class CrawlPipeline:
         t0 = time.perf_counter()
         fdf = frontier.to_pandas()
 
-        # politeness: per-host budget, lowest priority first (deterministic;
-        # single global sort + per-host cumcount — no per-host Python loop)
-        fdf = fdf.sort_values(["priority", "url"], kind="mergesort")
-        cum = fdf.groupby("host", sort=False).cumcount()
-        throttled = 0
-        if self._clock is not None and self._clock.delay:
-            # Crawl-delay logical clock: delayed hosts get the lower of the
-            # structural budget and their accrued fetch tokens this wave
-            self._clock.tick()
-            cap = fdf["host"].map(self._clock.limits()).fillna(self.host_budget)
-            within_budget = (cum < cap).to_numpy()
-            throttled = int(((cum < self.host_budget).to_numpy() & ~within_budget).sum())
-        else:
-            within_budget = (cum < self.host_budget).to_numpy()
-        selected = fdf[within_budget]
-        leftovers = fdf[~within_budget]
-        if self._clock is not None and self._clock.delay and len(selected):
-            sel_hosts = selected["host"]
-            self._clock.spend(
-                sel_hosts[sel_hosts.isin(self._clock.delay)].value_counts().to_dict()
-            )
+        # politeness: per-host budget + crawl-delay clock, lowest priority
+        # first — the SHARED selection kernel (state/politeness.py), so
+        # both engines enforce identical semantics by construction
+        selected, leftovers, throttled = select_with_clock(
+            fdf, self._clock, self.host_budget
+        )
 
         if len(selected) == 0:
             if len(leftovers) and throttled:

@@ -244,6 +244,35 @@ def _run_shards(shards: list, max_rounds: int, write_dir: str | None = None):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def write_symmetric_edges(
+    pairs, a_col: str, b_col: str, out_dir: str, num_shards: int = 16
+) -> dict:
+    """Pair Dataset → the symmetric, shard-partitioned edge layout the CC
+    actor shards load (``{out_dir}/shard={s}/`` with ``shard == u % P``).
+
+    The shard math here and in :class:`_CCShard`'s node partitioning MUST
+    agree — this shared helper is the single home for that invariant (the
+    text and embedding dedup pipelines both sink through it)."""
+
+    def explode(t):
+        import pyarrow as pa
+
+        a = t.column(a_col).to_numpy()
+        b = t.column(b_col).to_numpy()
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "shard": pa.array((u % num_shards).astype(np.int32)),
+            "u": pa.array(u),
+            "v": pa.array(v),
+        })
+
+    pairs.map_batches(explode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    return {"out_dir": out_dir, "num_shards": num_shards}
+
+
 def connected_components(
     edges: pd.DataFrame, nodes: np.ndarray,
     num_shards: int = 16, max_rounds: int = 64,

@@ -107,12 +107,21 @@ def hash_join(
 
 def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
     """Dataset schema as pyarrow (pandas-block datasets report a
-    PandasBlockSchema of names + numpy dtypes — normalize it)."""
+    PandasBlockSchema of names + numpy dtypes — normalize it; pandas
+    stores strings as dtype ``object``, which has no direct Arrow
+    equivalent, so object maps to ``string`` — the only object payload
+    this engine ships)."""
     base = ds.schema().base_schema
     if isinstance(base, pa.Schema):
         return base
+
+    def _to_arrow(t) -> pa.DataType:
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
     return pa.schema([
-        pa.field(n, pa.from_numpy_dtype(t)) for n, t in zip(base.names, base.types)
+        pa.field(n, _to_arrow(t)) for n, t in zip(base.names, base.types)
     ])
 
 

@@ -317,24 +317,16 @@ def embedding_neardup_dedup_to_parquet(
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(clusters_dir, ignore_errors=True)
 
-    cent = _ivf_centroids(sf_dir, 16)
+    # streaming: IVF pair Dataset → symmetric sharded edge sink (shared
+    # helper — the shard math MUST match the CC loaders'). Duplicate pair
+    # rows from multi-bucket overlap become duplicate edges, which
+    # min-label propagation is insensitive to.
+    from .graph import write_symmetric_edges
 
-    def explode(t: pa.Table) -> pa.Table:
-        a = t.column("vec_a").to_numpy()
-        b = t.column("vec_b").to_numpy()
-        u = np.concatenate([a, b])
-        v = np.concatenate([b, a])
-        return pa.table({
-            "shard": pa.array((u % num_shards).astype(np.int32)),
-            "u": pa.array(u), "v": pa.array(v),
-        })
-
-    # streaming: IVF pair Dataset → symmetric edges → sharded parquet
-    # (duplicate pair rows from multi-bucket overlap become duplicate
-    # edges, which min-label propagation is insensitive to)
-    _ivf_pairs_ds(sf_dir, threshold).map_batches(
-        explode, batch_format="pyarrow"
-    ).write_parquet(edges_dir, partition_cols=["shard"])
+    write_symmetric_edges(
+        _ivf_pairs_ds(sf_dir, threshold), "vec_a", "vec_b",
+        edges_dir, num_shards,
+    )
     n = connected_components_from_edge_partitions(
         edges_dir, os.path.join(sf_dir, "embeddings.parquet"),
         num_shards, write_dir=clusters_dir, id_column="vec_id",

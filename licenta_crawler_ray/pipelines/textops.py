@@ -485,12 +485,15 @@ def _verify_pairs_ds(cand: rd.Dataset, sf_dir: str, threshold: float) -> rd.Data
         ])) if t.num_rows else np.empty(0, dtype=np.int64)
         return pa.table({"d": pa.array(u)})
 
-    per_block = cand.map_batches(block_ids, batch_format="pyarrow").to_pandas()
-    participants = np.unique(per_block["d"].to_numpy())
-    participants_ref = (
-        ray.put(participants)
-        if participants.nbytes <= _PARTICIPANT_BCAST_CAP else None
-    )
+    # cap check runs BEFORE any ids reach the driver: the materialized pair
+    # count bounds the participant array at 2 ids/pair × 8 bytes (a metadata
+    # read, no scan) — over the cap, nothing corpus-sized is ever collected
+    # and the unfiltered grid runs instead
+    participants_ref = None
+    if cand.count() * 16 <= _PARTICIPANT_BCAST_CAP:
+        per_block = cand.map_batches(block_ids, batch_format="pyarrow").to_pandas()
+        participants = np.unique(per_block["d"].to_numpy())
+        participants_ref = ray.put(participants)
 
     sets = _sets_wide(sf_dir, participants_ref=participants_ref)
     pairs_wide = cand.map_batches(pair_wide, batch_format="pyarrow")
@@ -849,25 +852,14 @@ def write_neardup_edges(
     sf_dir: str, out_dir: str, threshold: float = 0.8, num_shards: int = 16
 ) -> dict:
     """Symmetric near-dup edge set, hash-partitioned by source shard —
-    the layout the CC actor shards load directly (``shard={s}/``)."""
+    the layout the CC actor shards load directly (``shard={s}/``; shard
+    math lives in the shared :func:`graph.write_symmetric_edges`)."""
+    from .graph import write_symmetric_edges
 
-    def explode(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy()
-        b = t.column("doc_b").to_numpy()
-        u = np.concatenate([a, b])
-        v = np.concatenate([b, a])
-        return pa.table({
-            "shard": pa.array((u % num_shards).astype(np.int32)),
-            "u": pa.array(u),
-            "v": pa.array(v),
-        })
-
-    (
-        minhash_lsh_pairs_ds(sf_dir, threshold)
-        .map_batches(explode, batch_format="pyarrow")
-        .write_parquet(out_dir, partition_cols=["shard"])
+    return write_symmetric_edges(
+        minhash_lsh_pairs_ds(sf_dir, threshold), "doc_a", "doc_b",
+        out_dir, num_shards,
     )
-    return {"out_dir": out_dir, "num_shards": num_shards}
 
 
 def neardup_dedup_to_parquet(

@@ -68,7 +68,7 @@ def crawl_bucket_local(
             hash_strings(pa.array(seed_urls, type=pa.string()))
         )
 
-    from ..state.politeness import PolitenessClock
+    from ..state.politeness import PolitenessClock, select_with_clock
 
     clock = PolitenessClock(crawl_delays or {}, host_budget)
     lineage: list[dict] = []
@@ -86,27 +86,17 @@ def crawl_bucket_local(
         delayed_here = clock.delay and any(
             h in clock.delay for h in host_counts.field("values").to_pylist()
         )
-        if delayed_here:
-            clock.tick()
+        # (select_with_clock ticks the clock when it receives one)
         if max_per_host <= host_budget and not delayed_here:
             batch = frontier
             leftovers = None
         else:
-            fdf = frontier.to_pandas().sort_values(["priority", "url"], kind="mergesort")
-            cum = fdf.groupby("host", sort=False).cumcount()
-            if delayed_here:
-                cap = fdf["host"].map(clock.limits()).fillna(host_budget)
-                within = (cum < cap).to_numpy()
-                throttled = int(((cum < host_budget).to_numpy() & ~within).sum())
-            else:
-                within = (cum < host_budget).to_numpy()
-            selected = fdf[within]
-            leftovers = fdf[~within]
-            if delayed_here and len(selected):
-                sel_hosts = selected["host"]
-                clock.spend(
-                    sel_hosts[sel_hosts.isin(clock.delay)].value_counts().to_dict()
-                )
+            # shared selection kernel — identical semantics to the wave
+            # engine by construction (state/politeness.select_with_clock)
+            selected, leftovers, throttled = select_with_clock(
+                frontier.to_pandas(), clock if delayed_here else None,
+                host_budget,
+            )
             if len(selected) == 0:
                 if throttled:
                     # all candidates are waiting on their crawl-delay clock:

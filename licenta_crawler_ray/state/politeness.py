@@ -127,6 +127,38 @@ class PolitenessClock:
                 self.tokens[h] -= float(k)
 
 
+def select_with_clock(
+    fdf: pd.DataFrame, clock: "PolitenessClock | None", host_budget: int
+) -> tuple[pd.DataFrame, pd.DataFrame, int]:
+    """Shared per-wave politeness selection — the ONE home for the
+    budget + crawl-delay semantics, so the wave and bucket engines'
+    output-parity contract is structural, not two hand-kept copies.
+
+    Sorts the frontier lowest-priority-first, caps each host at
+    ``host_budget`` (or its clock limit when delayed — ticking the clock
+    once), and returns ``(selected, leftovers, throttled)`` where
+    ``throttled`` counts rows deferred ONLY because of crawl-delay."""
+    fdf = fdf.sort_values(["priority", "url"], kind="mergesort")
+    cum = fdf.groupby("host", sort=False).cumcount()
+    throttled = 0
+    clocked = clock is not None and bool(clock.delay)
+    if clocked:
+        clock.tick()
+        cap = fdf["host"].map(clock.limits()).fillna(host_budget)
+        within = (cum < cap).to_numpy()
+        throttled = int(((cum < host_budget).to_numpy() & ~within).sum())
+    else:
+        within = (cum < host_budget).to_numpy()
+    selected = fdf[within]
+    leftovers = fdf[~within]
+    if clocked and len(selected):
+        sel_hosts = selected["host"]
+        clock.spend(
+            sel_hosts[sel_hosts.isin(clock.delay)].value_counts().to_dict()
+        )
+    return selected, leftovers, throttled
+
+
 def select_host_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:
     """Mark the ``budget`` lowest-priority rows of one host's frontier group.
 

@@ -407,7 +407,8 @@ class TestProperties:
         left = pd.DataFrame({"k": keys.astype("int64"),
                              "lv": np.arange(n, dtype="int64")})
         right = pd.DataFrame({"k": np.arange(200, dtype="int64"),
-                              "rv": np.arange(200, dtype="int64") * 10})
+                              "rv": np.arange(200, dtype="int64") * 10,
+                              "rname": [f"key-{i}" for i in range(200)]})
         expected = left.merge(right, on="k").sort_values(["k", "lv"]) \
             .reset_index(drop=True)
         for salt in (1, 4):
