@@ -103,18 +103,26 @@ def fnv1a64(s: str) -> int:
     return h
 
 
-def fnv1a64_bytes_np(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Vectorized FNV-1a over a flat byte buffer with offsets.
+def fnv1a64_bytes_np(data: np.ndarray, offsets: np.ndarray = None,
+                     starts: np.ndarray = None,
+                     lengths: np.ndarray = None) -> np.ndarray:
+    """Vectorized FNV-1a over byte slices of a flat buffer.
 
-    ``data`` is the concatenated utf-8 bytes of N strings; ``offsets`` has
-    N+1 entries. Returns uint64[N]. Iterates byte-position-wise (max string
-    length passes), not row-wise — O(max_len) numpy ops instead of a Python
-    loop over rows, which matters at 10^10-URL scale.
+    Either ``offsets`` (N+1 entries for N adjacent strings) or explicit
+    ``starts``/``lengths`` (slices need not be adjacent — e.g. tokens cut
+    out of a document buffer). Returns uint64[N]. Iterates
+    byte-position-wise (max string length passes), not row-wise —
+    O(max_len) numpy ops instead of a Python loop over rows, which
+    matters at 10^10-URL scale.
     """
-    n = len(offsets) - 1
+    if offsets is not None:
+        starts = offsets[:-1].astype(np.int64)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    else:
+        starts = starts.astype(np.int64)
+        lengths = lengths.astype(np.int64)
+    n = len(starts)
     h = np.full(n, _FNV64_OFFSET, dtype=np.uint64)
-    starts = offsets[:-1].astype(np.int64)
-    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
     max_len = int(lengths.max()) if n else 0
     for i in range(max_len):
         live = lengths > i

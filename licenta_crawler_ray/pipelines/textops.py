@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from ..functions.urls import fnv1a64, hash_strings, popcount_u64
+from ..functions.urls import fnv1a64, fnv1a64_bytes_np, hash_strings, popcount_u64
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -707,27 +707,65 @@ class MinHasher:
         uh = hash_strings(pa.array(uniq, type=pa.string()))
         return self._sig_matrix(uh[codes], counts)
 
+    # byte values Python's str.split() treats as whitespace in the ASCII
+    # range: \t \n \v \f \r space and the information separators 1C-1F
+    _WS_BYTES = np.zeros(256, dtype=bool)
+    _WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+    # UTF-8 LEAD bytes that can start a non-ASCII whitespace codepoint
+    # (U+0085/U+00A0 → C2; U+1680 → E1; U+2000-200A/2028/2029/202F/205F →
+    # E2; U+3000 → E3). Their presence routes the batch to the scalar
+    # frozen-spec path; any other multibyte text (C3.., E0, F0 …) stays on
+    # the fast path because no whitespace codepoint can hide in it.
+    _UNICODE_WS_LEADS = np.array([0xC2, 0xE1, 0xE2, 0xE3], dtype=np.uint8)
+
     def signatures_arrow(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         """Vectorized unigram path: tokens never become Python objects.
-        ``utf8_split_whitespace`` matches ``str.split()`` except for empty
-        tokens at whitespace runs/boundaries, which a byte-length mask
-        drops (property-tested against :meth:`signature`); per-doc distinct
-        hashes come from one lexsort + boundary scan over the flat token
-        hash array. 3× less per-doc CPU than the factorize form (the
-        MinHash stage was the dedup pipeline's top compute after round 3's
-        shuffle fixes)."""
+
+        Tokenization is a deterministic numpy BYTE-level split on the flat
+        utf-8 buffer (whitespace lookup table → token start mask → bincount
+        lengths), NOT ``pc.utf8_split_whitespace`` — that kernel's UTF-8
+        decode reads past slice ends and intermittently mis-tokenizes
+        depending on allocator garbage (reproduced on this pyarrow with a
+        trailing tab at the buffer end). ASCII whitespace splitting is
+        exact vs ``str.split()``; batches containing bytes that could lead
+        a non-ASCII whitespace codepoint fall back to the scalar
+        frozen-spec path (property-tested equivalence either way). Per-doc
+        distinct hashes come from one lexsort + boundary scan; ~3× less
+        per-doc CPU than the factorize form."""
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n = len(texts)
-        toks = pc.utf8_split_whitespace(texts)
-        lens = np.diff(toks.offsets.to_numpy())
-        flat = toks.values
-        h = hash_strings(flat)
-        seg = np.repeat(np.arange(n, dtype=np.int64), lens)
-        nonempty = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
-        h, seg = h[nonempty], seg[nonempty]
-        if len(h) == 0:
-            return self._sig_matrix(h, np.zeros(n, dtype=np.int64))
+        arr = texts.cast(pa.large_string())
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset
+        )[arr.offset:]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        span = data[offs[0]: offs[-1]]
+        if len(span) == 0:
+            return self._sig_matrix(
+                np.empty(0, np.uint64), np.zeros(n, dtype=np.int64))
+        if np.isin(span, self._UNICODE_WS_LEADS).any():
+            return self.signatures(texts.to_pylist())
+        doc_starts = (offs - offs[0])[:-1]
+        nonws = ~self._WS_BYTES[span]
+        prev_nonws = np.empty(len(span), dtype=bool)
+        prev_nonws[0] = False
+        prev_nonws[1:] = nonws[:-1]
+        # force a token break at every document boundary
+        prev_nonws[doc_starts[doc_starts < len(span)]] = False
+        starts_mask = nonws & ~prev_nonws
+        start_pos = np.flatnonzero(starts_mask)
+        if len(start_pos) == 0:
+            return self._sig_matrix(
+                np.empty(0, np.uint64), np.zeros(n, dtype=np.int64))
+        tok_id = np.cumsum(starts_mask) - 1
+        tok_len = np.bincount(tok_id[nonws])
+        # ... but a token must not run across a doc boundary into ws-free
+        # territory: boundaries forced above guarantee tokens never span
+        # docs, so lengths are correct as counted
+        tok_doc = np.searchsorted(doc_starts, start_pos, side="right") - 1
+        h = fnv1a64_bytes_np(span, starts=start_pos, lengths=tok_len)
+        seg = tok_doc.astype(np.int64)
         order = np.lexsort((h, seg))
         h_s, seg_s = h[order], seg[order]
         keep = np.r_[True, (seg_s[1:] != seg_s[:-1]) | (h_s[1:] != h_s[:-1])]

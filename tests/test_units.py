@@ -380,7 +380,10 @@ class TestProperties:
 
         mh = MinHasher()
         word = st.text(alphabet="abcdefgé0.,!", min_size=1, max_size=8)
-        sep = st.sampled_from([" ", "  ", "\t", "\n", " \x0b ", " ", "\x1c"])
+        # includes NBSP / IDEOGRAPHIC SPACE separators, which route the
+        # batch through the scalar fallback path
+        sep = st.sampled_from([" ", "  ", "\t", "\n", " \x0b ", "\u2003",
+                               "\x1c", "\xa0", "\u3000"])
         doc = st.lists(st.tuples(word, sep), max_size=12).map(
             lambda ps: "".join(w + s for w, s in ps))
 
