@@ -65,6 +65,18 @@ class TestUrlFns:
         for v, h in zip(vals, vec):
             assert U.fnv1a64(v) == int(h)
 
+    def test_hash_strings_sliced_and_chunked(self):
+        """Buffer-offset handling: slices (non-zero array offset) and
+        multi-chunk arrays hash identically to the scalar form."""
+        vals = [f"url-{i}-" + "x" * (i % 7) for i in range(50)]
+        arr = pa.array(vals, type=pa.string())
+        sl = arr.slice(13, 20)
+        assert [int(h) for h in U.hash_strings(sl)] == \
+            [U.fnv1a64(v) for v in vals[13:33]]
+        ch = pa.chunked_array([arr.slice(0, 10), arr.slice(10, 15)])
+        assert [int(h) for h in U.hash_strings(ch)] == \
+            [U.fnv1a64(v) for v in vals[:25]]
+
     def test_priority_roundtrip(self):
         si, d, o = U.decode_priority(U.encode_priority(37, 1023, 99999))
         assert (int(si), int(d), int(o)) == (37, 1023, 99999)
