@@ -159,18 +159,3 @@ def select_with_clock(
     return selected, leftovers, throttled
 
 
-def select_host_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:
-    """Mark the ``budget`` lowest-priority rows of one host's frontier group.
-
-    Used inside ``groupby("host").map_groups``; adds a ``selected`` bool
-    column. Deterministic: ties cannot occur (priorities are unique per
-    (url, discovery) and deduped first-wins before this point).
-    """
-    df = df.sort_values(["priority", "url"], kind="mergesort")
-    sel = np.zeros(len(df), dtype=bool)
-    fetchable = df["page_type"].isin(["shelf", "sitemap", "product"]).to_numpy()
-    take = np.nonzero(fetchable)[0][:budget] if budget >= 0 else np.nonzero(fetchable)[0]
-    sel[take] = True
-    df = df.copy()
-    df["selected"] = sel
-    return df
