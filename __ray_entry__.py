@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from licenta_crawler_ray.pipelines import crawl_queries as cq
     from licenta_crawler_ray.pipelines import relational as rel
     from licenta_crawler_ray.pipelines import similarity as sim
+    from licenta_crawler_ray.pipelines import sketches as sk
     from licenta_crawler_ray.pipelines import textops as tx
 
     return {
@@ -48,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": rel.user_sessions,
         "top_events_per_user": rel.top_events_per_user,
         "priority_revenue": rel.priority_revenue,  # large-x-large partitioned hash join
+        "events_asof_orders": rel.events_asof_orders,  # as-of join (SQL-checked)
+        "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window (SQL-checked)
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
@@ -76,6 +79,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_dedup": sim.embedding_neardup_dedup,  # SQL-checked (recursive CC)
         "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
         "embedding_knn_lsh": sim.embedding_knn_lsh,         # approx; rows-only
+        "embedding_kmeans": sim.embedding_kmeans,           # iterative; rows-only
+        # --- sketches & sampling
+        "token_quantiles": sk.token_quantiles,              # SQL-checked (exact histogram)
+        "heavy_tokens": sk.heavy_tokens,                    # SQL-checked (exact)
+        "heavy_tokens_sketch": sk.heavy_tokens_sketch,      # Misra-Gries; rows-only
+        "distinct_order_count": sk.distinct_order_count,    # SQL-checked (exact)
+        "approx_distinct_orders": sk.approx_distinct_orders,  # HyperLogLog; rows-only
+        "corpus_sample": sk.corpus_sample,                  # SQL-checked (hash Bernoulli)
+        "reservoir_sample": sk.reservoir_sample,            # SQL-checked (priority top-k)
     }
 
 
@@ -287,5 +299,60 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
             SELECT u AS vec_id, min(v) AS group_id FROM reach
             GROUP BY u ORDER BY vec_id
+        """,
+        "events_asof_orders": """
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id
+                           AND o.o_orderdate <= e.ts)
+            WHERE rn = 1 ORDER BY event_id
+        """,
+        "events_sliding_window": """
+            SELECT event_id,
+                   count(*) OVER w AS w_count,
+                   round(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w
+                         / 100.0, 2) AS w_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "token_quantiles": r"""
+            WITH t AS (SELECT len(regexp_extract_all(text, '\S+')) AS n
+                       FROM documents)
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q,
+                   unnest([quantile_disc(n, 0.25), quantile_disc(n, 0.5),
+                           quantile_disc(n, 0.75), quantile_disc(n, 0.9),
+                           quantile_disc(n, 0.99)]) AS n_tokens
+            FROM t ORDER BY q
+        """,
+        "heavy_tokens": r"""
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+                       FROM documents),
+            c AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c)
+            SELECT word, n FROM c, t WHERE n >= 0.03::DOUBLE * tot
+            ORDER BY n DESC, word
+        """,
+        "distinct_order_count": """
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+        """,
+        "corpus_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) & 4294967295 < 429496729
+            ORDER BY doc_id
+        """,
+        "reservoir_sample": """
+            SELECT CAST(row_number() OVER (
+                     ORDER BY (doc_id*2654435761) & 4294967295, doc_id)
+                   AS BIGINT) AS rank, doc_id
+            FROM (SELECT doc_id FROM documents
+                  ORDER BY (doc_id*2654435761) & 4294967295, doc_id
+                  LIMIT 50)
         """,
     }

@@ -351,3 +351,123 @@ def priority_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     )
     out["total_revenue"] = out["total_revenue"].round(2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _tag_bucket(t: pa.Table, key: str) -> pa.Table:
+    """Coarse hash-partition key over an arbitrary int column (same policy
+    as :func:`_bucket_users` — one Ray group per bucket, vectorized work
+    inside)."""
+    b = pc.cast(
+        pc.bit_wise_and(t[key].cast(pa.int64()),
+                        pa.scalar(_USER_BUCKETS - 1, pa.int64())),
+        pa.int32(),
+    )
+    return t.append_column("bucket", b)
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """As-of join (time-series point lookup): each event matched to the most
+    recent order of the same user at or before the event's timestamp —
+    the operator Ray Data lacks natively, composed per SURVEY's custom-op
+    recipe (a): tagged union of both sides → one ``groupby(bucket)``
+    shuffle co-locating each user's events AND orders → a vectorized
+    ``pd.merge_asof`` per bucket (C-speed backward search, never a
+    per-user Python loop).
+
+    Partitioning assumption: both sides hash-partition on the SAME user
+    key, so the join is local within a bucket; skewed users stay bounded
+    because a single user's rows always fit one bucket's worth of the two
+    time-sorted frames. Tie-break among equal order dates: the highest
+    ``o_orderkey`` (right side sorted ascending — ``merge_asof`` takes the
+    last match). Events whose user has no prior order are dropped (inner
+    as-of), keeping the output hash-stable (no NULL columns)."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "key": t["user_id"], "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
+                "event_id": t["event_id"], "ts": t["ts"],
+                "o_orderkey": pa.nulls(len(t), pa.int64()),
+                "o_orderdate": pa.nulls(len(t), pa.timestamp("us")),
+            }),
+            batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+        )
+    od = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "key": t["o_custkey"], "kind": pa.nulls(len(t), pa.int8()).fill_null(0),
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "ts": pa.nulls(len(t), pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"],
+            }),
+            batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == 1, ["event_id", "key", "ts"]] \
+            .sort_values("ts", kind="mergesort")
+        o = g.loc[g["kind"] == 0, ["key", "o_orderkey", "o_orderdate"]] \
+            .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        if e.empty or o.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="int64"),
+                                 "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(e, o, left_on="ts", right_on="o_orderdate",
+                          by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["key"].astype("int64"),
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_orderdate": m["o_orderdate"],
+        })
+
+    out = (
+        ev.union(od)
+        .map_batches(lambda t: _tag_bucket(t, "key"), batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_sliding_window(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
+    """Sliding-window aggregate (RANGE frame): per event, the count and
+    value-sum of the same user's events in the trailing ``minutes`` window
+    (peers at the exact boundary and at the current timestamp included —
+    SQL RANGE ... CURRENT ROW semantics).
+
+    Same coarse-bucket partitioning as sessionization; inside a bucket the
+    window bounds come from TWO ``np.searchsorted`` calls over a composite
+    (dense-user, ts) key — fully vectorized, no per-user loop. Sums run in
+    integer cents over prefix sums, so they are exact (no float drift
+    between a prefix-sum difference and the oracle's direct window sum)."""
+    W = np.int64(minutes) * 60_000_000  # window in microseconds
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uidx = pd.factorize(g["user_id"])[0].astype(np.int64)  # dense, sorted
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = ts.min()
+        span = ts.max() - base + W + 2  # composite key stride (no overlap)
+        key = uidx * span + (ts - base)
+        lo = np.searchsorted(key, uidx * span + (ts - base - W), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "w_count": (hi - lo).astype("int64"),
+            "w_sum": np.round((csum[hi] - csum[lo]) / 100.0, 2),
+        })
+
+    out = (
+        _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -476,3 +476,80 @@ def embedding_knn_ivf(
         IvfScorer(), batch_format="pyarrow"
     ).to_pandas()
     return _rank_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) over the full embedding table
+# ---------------------------------------------------------------------------
+def _kmeans_fit(
+    sf_dir: str, k: int, iters: int
+) -> tuple[np.ndarray, list[float]]:
+    """Full-corpus Lloyd's iterations: each pass is one ``map_batches``
+    emitting per-batch per-cluster partial sums/counts (k rows per batch —
+    constant in batch size), merged on the driver (bounded by block count ×
+    k, never by corpus size). Centroids travel by value in the task closure
+    (k × dim doubles ≈ KBs — cheaper than a broadcast round-trip at this
+    size; switch to ``ray.put`` for large k × dim). Deterministic init:
+    the first k vectors by ``vec_id`` (pruned row-filter read).
+
+    Returns (centroids, inertia history). Unlike :func:`_ivf_centroids`
+    (a driver-side SAMPLE fit used only to seed bucketing), this is the
+    exact distributed algorithm over every row."""
+    init = (
+        _emb(sf_dir, columns=["vec_id", "embedding"],
+             filter=pc.field("vec_id") < k)
+        .to_pandas().sort_values("vec_id")
+    )
+    cent = _to_matrix(init)
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    inertia_hist: list[float] = []
+    for _ in range(iters):
+        def partial(t: pa.Table, C=cent) -> pa.Table:
+            _, m = _arrow_matrix(t)
+            d = ((m * m).sum(1)[:, None] - 2.0 * (m @ C.T)
+                 + (C * C).sum(1)[None, :])
+            a = np.argmin(d, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            inertia = np.maximum(d[np.arange(len(m)), a], 0.0)
+            isum = np.zeros(len(C))
+            np.add.at(isum, a, inertia)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(C), dtype=np.int32)),
+                "n": pa.array(counts),
+                "inertia": pa.array(isum),
+                "vsum": pa.array(list(sums)),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+        inertia_hist.append(float(parts["inertia"].sum()))
+        new = cent.copy()  # empty cluster keeps its old centroid
+        for c, grp in parts.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n:
+                new[c] = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0) / n
+        cent = new
+    return cent, inertia_hist
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
+    """Cluster assignment for every embedding after ``iters`` distributed
+    Lloyd's rounds (rows-only: iterative, not SQL-expressible; determinism
+    and inertia monotonicity are pytest-verified)."""
+    cent, _ = _kmeans_fit(sf_dir, k, iters)
+
+    def assign(t: pa.Table, C=cent) -> pa.Table:
+        ids, m = _arrow_matrix(t)
+        d = ((m * m).sum(1)[:, None] - 2.0 * (m @ C.T)
+             + (C * C).sum(1)[None, :])
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(np.argmin(d, axis=1).astype(np.int32))})
+
+    out = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

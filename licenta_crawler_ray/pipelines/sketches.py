@@ -1,0 +1,306 @@
+"""Sketches & sampling — the approximate-aggregate family a 100 TB corpus
+build leans on, each with an exact SQL-checked sibling where one exists.
+
+Reference scope note: the reference crawler has *no* aggregates at all
+(SURVEY §2.5 — "absent in reference"); this module is part of the
+beyond-reference LLM-data-pipeline surface the brief mandates (dedup /
+curation / corpus-audit operators). Shapes:
+
+- **exact quantiles** of a bounded-cardinality measure (per-doc token
+  counts) via a distributed value-count histogram — the shuffle carries
+  one row per (batch, distinct value), never the docs;
+- **heavy hitters**, exact (vocab-bounded groupby) and sketched
+  (Misra-Gries summaries merged associatively — Agarwal et al., "Mergeable
+  Summaries", PODS'12) for vocabularies too large to groupby;
+- **count-distinct**, exact (distinct-key shuffle) and HyperLogLog
+  (Flajolet et al. 2007) whose register table merges with a plain
+  ``groupby(register).max`` — constant state per batch regardless of
+  input size;
+- **deterministic sampling**: Bernoulli by multiplicative hash and a
+  fixed-size priority sample (the hash plays the role of the random key
+  in reservoir sampling, making the draw reproducible and SQL-checkable).
+
+All randomness is replaced by the Knuth multiplicative hash
+``(id * 2654435761) mod 2^32`` so every operator is deterministic,
+cluster-size-independent, and exactly reproducible in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from .textops import _docs
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+_MASK32 = 4294967295
+
+
+def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _knuth_hash(ids: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """(id * 2654435761) & 0xFFFFFFFF in int64 — identical to the DuckDB
+    expression ``(id * 2654435761) & 4294967295``. Domain: id < 2^32 (the
+    product must fit int64; at 10^10 docs switch both sides to a 64-bit
+    mix — kept 32-bit here so the oracle stays plain SQL)."""
+    return pc.bit_wise_and(pc.multiply(ids, pa.scalar(_KNUTH, pa.int64())),
+                           pa.scalar(_MASK32, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles via distributed value-count histogram
+# ---------------------------------------------------------------------------
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def token_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles of per-doc whitespace-token counts.
+
+    Per-batch: count tokens (compiled regex) and emit ``value_counts`` —
+    one row per distinct count. Global: ``groupby(n).sum`` — the final
+    table is bounded by the cardinality of the measure (doc lengths),
+    never the corpus. Quantile convention matches DuckDB ``quantile_disc``:
+    the element at 1-based index ``ceil(q * n)`` of the sorted values."""
+    ws = re.compile(r"\S+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.count(ws)
+        return n.value_counts().rename_axis("n_tokens").reset_index(name="cnt")
+
+    hist = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("n_tokens")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    vals = hist["n_tokens"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in QUANTILES:
+        rank = int(np.ceil(q * total))  # 1-based quantile_disc index
+        out.append((q, int(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(out, columns=["q", "n_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact and Misra-Gries sketch
+# ---------------------------------------------------------------------------
+def heavy_tokens(sf_dir: str, min_share: float = 0.03) -> pd.DataFrame:
+    """Exact heavy hitters: whitespace tokens with count ≥ min_share of all
+    tokens. One pass: per-batch (word, n) partials → global sum; the total
+    is the sum over the vocab-bounded grouped table, so no second scan.
+    The threshold multiplies in float64 on both sides (the SQL oracle
+    casts ``min_share`` to DOUBLE) so boundary counts classify identically."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = [w for t in df["text"] for w in t.split()]
+        s = pd.Series(words, dtype="object").value_counts()
+        return s.rename_axis("word").reset_index(name="n")
+
+    counts = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts["n"] = counts["n"].astype("int64")
+    total = float(counts["n"].sum())
+    out = counts[counts["n"] >= min_share * total]
+    return out.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
+
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression: decrement all counters by the (k+1)-th
+    largest and keep the positive survivors (≤ k of them)."""
+    if len(words) <= k:
+        return words, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > kth
+    return words[keep], counts[keep] - kth
+
+
+def heavy_tokens_sketch(sf_dir: str, k: int = 64, min_share: float = 0.03) -> pd.DataFrame:
+    """Misra-Gries heavy-hitter sketch (mergeable-summaries form).
+
+    Per batch: exact in-batch counts compressed to ≤ k counters; merging
+    partials is a plain ``groupby(word).sum`` (summed MG counters remain a
+    valid MG summary of the union — Agarwal et al. PODS'12), so the
+    shuffle moves ≤ k rows per batch no matter the vocabulary size — the
+    scale path when the vocab itself won't fit a groupby result.
+
+    Guarantee: ``true_count - total/(k+1) ≤ counter ≤ true_count``, so
+    every token with share ≥ min_share survives when ``1/(k+1)`` is below
+    ``min_share``; reported counts are the (under-)estimates. Rows-only
+    (approximate); the superset property is pytest-verified against
+    :func:`heavy_tokens` on a skewed corpus."""
+    assert 1.0 / (k + 1) < min_share, "k too small to retain min_share hitters"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series(
+            [w for t in df["text"] for w in t.split()], dtype="object"
+        ).value_counts()
+        total = int(s.sum())
+        w, c = _mg_compress(s.index.to_numpy(object), s.to_numpy(np.int64), k)
+        # one summary-total row per batch (word="" sorts apart from real
+        # tokens) so the global threshold needs no second pass
+        return pd.DataFrame({"word": np.concatenate([w, [""]]),
+                             "n": np.concatenate([c, [total]])})
+
+    merged = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    merged["n"] = merged["n"].astype("int64")
+    total = float(merged.loc[merged["word"] == "", "n"].sum())
+    cand = merged[merged["word"] != ""]
+    # undercount bound: keep every counter that COULD be ≥ min_share
+    slack = total / (k + 1)
+    out = cand[cand["n"].astype(float) + slack >= min_share * total]
+    out = out.rename(columns={"n": "n_est"})
+    return out.sort_values(["n_est", "word"], ascending=[False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-distinct — exact and HyperLogLog
+# ---------------------------------------------------------------------------
+def distinct_order_count(sf_dir: str) -> pd.DataFrame:
+    """Exact count-distinct over a fact-table key: per-batch ``unique``
+    (the combiner — ships distinct keys only), global ``groupby(key)``,
+    then a distributed row count of the groups."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    n = (
+        _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Max("l_orderkey", alias_name="x"))
+        .count()
+    )
+    return pd.DataFrame({"n_orders": [np.int64(n)]})
+
+
+def _clz_rho(w: np.ndarray, width: int) -> np.ndarray:
+    """HLL rho over a ``width``-bit field left-aligned in a uint64:
+    leading zeros + 1, and ``width + 1`` when the field is all-zero.
+    Vectorized binary-search clz — no float log (inexact above 2^53)."""
+    lz = np.zeros(len(w), dtype=np.int64)
+    acc = w.copy()
+    for step in (32, 16, 8, 4, 2, 1):
+        m = acc < (np.uint64(1) << np.uint64(64 - step))  # top `step` bits zero
+        lz[m] += step
+        acc[m] = acc[m] << np.uint64(step)
+    rho = np.minimum(lz + 1, width + 1)
+    rho[w == np.uint64(0)] = width + 1
+    return rho.astype(np.int8)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a public-domain 64-bit mix (Steele et al.,
+    'Fast splittable pseudorandom number generators', OOPSLA'14)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def approx_distinct_orders(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HyperLogLog count-distinct (Flajolet et al. 2007), 2^p registers.
+
+    Per batch: SplitMix64 the keys, take the top ``p`` bits as register
+    index and rho of the remaining ``64-p`` bits; emit the batch's nonzero
+    registers as (idx, rho) rows. Merge: ``groupby(idx).max`` — HLL's
+    merge IS register-wise max, so the shuffle carries ≤ 2^p tiny rows per
+    batch regardless of input size. Estimate on the ≤ 2^p-row result with
+    the standard bias correction + linear counting for the small range.
+    Rows-only (approximate); pytest bounds the error vs the exact count."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        idx = (h >> np.uint64(64 - p)).astype(np.int32)
+        rho = _clz_rho(h << np.uint64(p), 64 - p)
+        reg = np.zeros(m, dtype=np.int8)
+        np.maximum.at(reg, idx, rho)
+        nz = np.nonzero(reg)[0]
+        return pa.table({"idx": nz.astype(np.int32), "rho": reg[nz]})
+
+    regs = (
+        _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("idx")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    reg = np.zeros(m, dtype=np.int8)
+    reg[regs["idx"].to_numpy(np.int64)] = regs["rho"].to_numpy(np.int8)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting in the sparse range
+    return pd.DataFrame({"n_orders_est": [np.int64(round(est))]})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+def corpus_sample(sf_dir: str, rate: float = 0.1) -> pd.DataFrame:
+    """Bernoulli sample by multiplicative hash: keep doc iff
+    ``knuth(doc_id) < rate * 2^32``. Embarrassingly parallel (a pure
+    filter — no shuffle, no coordination), reproducible on any cluster
+    size, and exactly expressible in SQL."""
+    cut = int(rate * (_MASK32 + 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(_knuth_hash(t["doc_id"]), pa.scalar(cut, pa.int64())))
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def reservoir_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Fixed-size uniform sample: the k docs with the smallest hash
+    priority — the deterministic-key form of reservoir sampling (each
+    batch keeps its k best candidates, the driver merges ≤ k rows per
+    block; equivalently a distributed top-k on the hash). Tie-break
+    (hash, doc_id) makes the draw total-ordered and SQL-checkable."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _knuth_hash(t["doc_id"]).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            sel = np.lexsort((ids, h))[:k]
+            h, ids = h[sel], ids[sel]
+        return pa.table({"doc_id": ids, "priority": h})
+
+    cand = (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    cand = cand.sort_values(["priority", "doc_id"], kind="mergesort").head(k)
+    cand = cand.reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand[["rank", "doc_id"]]

@@ -37,6 +37,9 @@ SQL_CHECKED = [
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "quality_filter", "corpus_split",
+    "events_asof_orders", "events_sliding_window", "token_quantiles",
+    "heavy_tokens", "distinct_order_count", "corpus_sample",
+    "reservoir_sample",
 ]
 
 
@@ -282,3 +285,111 @@ def test_multimodal_real_format_raises():
     )
     with pytest.raises(NotImplementedError):
         ImageDecode()(batch)
+
+
+# ---------------------------------------------------------------------------
+# Sketches & sampling (round 3)
+# ---------------------------------------------------------------------------
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_heavy_tokens_sketch_superset_on_skew(tmp_path):
+    """Misra-Gries guarantee on a genuinely skewed corpus (the testdata
+    vocab is near-uniform, so skew is constructed): every exact heavy
+    hitter survives the sketch, and sketch counters never overcount."""
+    import numpy as np
+
+    from licenta_crawler_ray.pipelines.sketches import heavy_tokens, heavy_tokens_sketch
+
+    rng = np.random.default_rng(7)
+    # Zipf-flavored: 3 planted heavies (~10% each), 2000-word tail
+    tail = [f"t{i:04d}" for i in range(2000)]
+    texts = []
+    for _ in range(300):
+        words = list(rng.choice(tail, size=14))
+        words += ["alpha", "beta", "gamma"] * 2  # 6/20 heavy mass per doc
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    d = _write_docs(tmp_path, texts)
+    exact = heavy_tokens(d, min_share=0.05)
+    sketch = heavy_tokens_sketch(d, k=64, min_share=0.05)
+    assert set(exact["word"]) == {"alpha", "beta", "gamma"}
+    assert set(exact["word"]) <= set(sketch["word"])
+    true_counts = dict(zip(exact["word"], exact["n"]))
+    for w, n_est in zip(sketch["word"], sketch["n_est"]):
+        if w in true_counts:
+            assert n_est <= true_counts[w]  # MG counters undercount only
+
+
+def test_hll_error_bound(con):
+    from licenta_crawler_ray.pipelines.sketches import approx_distinct_orders
+
+    exact = con.execute("SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    est = int(approx_distinct_orders(SF_DIR)["n_orders_est"].iloc[0])
+    assert abs(est - exact) / exact < 0.05  # p=12 → σ ≈ 1.6%
+
+
+def test_clz_rho_unit():
+    import numpy as np
+
+    from licenta_crawler_ray.pipelines.sketches import _clz_rho
+
+    rng = np.random.default_rng(3)
+    w = rng.integers(0, 1 << 63, size=1000, dtype=np.uint64) << np.uint64(1)
+    w[:5] = [0, 1, 1 << 63, 1 << 62, 3]
+    width = 52
+    got = _clz_rho(w.copy(), width)
+    for wi, g in zip(w.tolist(), got.tolist()):
+        expect = min(64 - wi.bit_length() + 1, width + 1) if wi else width + 1
+        assert g == expect, (wi, g, expect)
+
+
+def test_kmeans_deterministic_and_monotone():
+    from licenta_crawler_ray.pipelines.similarity import _kmeans_fit, embedding_kmeans
+
+    _, hist = _kmeans_fit(SF_DIR, 8, 4)
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+    a = embedding_kmeans(SF_DIR)
+    b = embedding_kmeans(SF_DIR)
+    assert a.equals(b)
+    assert a["cluster"].nunique() > 1
+
+
+def test_asof_join_tie_break(tmp_path):
+    """Orders sharing the as-of date must resolve to the max o_orderkey
+    (the SQL oracle's ORDER BY o_orderdate DESC, o_orderkey DESC)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.pipelines.relational import events_asof_orders
+
+    ts = pd.Timestamp("2024-01-10")
+    ev = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "user_id": pa.array([5, 6], type=pa.int64()),
+        "ts": pa.array([ts, ts]).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 1.0]),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 20], type=pa.int64()),
+        "o_custkey": pa.array([5, 5, 5, 6], type=pa.int64()),
+        # user 5: two orders tie on the latest date ≤ ts → pick key 12;
+        # a later order (key 10 at 2024-02-01) must NOT match
+        "o_orderdate": pa.array(
+            [pd.Timestamp("2024-02-01"), pd.Timestamp("2024-01-09"),
+             pd.Timestamp("2024-01-09"), pd.Timestamp("2024-01-01")]
+        ).cast(pa.timestamp("us")),
+    })
+    pq.write_table(ev, f"{tmp_path}/events.parquet")
+    pq.write_table(od, f"{tmp_path}/orders.parquet")
+    out = events_asof_orders(str(tmp_path))
+    assert out["o_orderkey"].tolist() == [12, 20]
