@@ -364,24 +364,30 @@ def embedding_knn_lsh(
         ((qm @ planes[t].T) > 0) @ pow2 for t in range(num_tables)
     ], axis=1)  # (Q, T)
     qids = qdf["vec_id"].to_numpy()
-    # dense (table, bucket) → query-bitmask lookup: W[t * 2^planes + bucket]
-    # has bit qi set iff query qi probes that bucket. Bitmask limbs keep the
-    # candidate test branch-free for any Q (vectorized per round-2 verdict:
-    # the per-row dict-probe loops here were the wrong shape for the
-    # advertised bucket-occupancy scaling).
-    assert num_planes <= 16, "bucket lookup table is sized 2^planes per table"
-    n_buckets = 1 << num_planes
+    # sparse (table, bucket) → query-bitmask lookup: only the ≤ Q×T buckets
+    # some query actually probes are stored (sorted packed keys +
+    # ``searchsorted`` probe), so memory is independent of 2^planes and any
+    # plane count ≤ 57 works — the round-2 dense table capped planes at 16.
+    # Bitmask limbs keep the candidate test branch-free for any Q
+    # (vectorized per round-2 verdict: the per-row dict-probe loops here
+    # were the wrong shape for the advertised bucket-occupancy scaling).
+    assert num_planes <= 57, "packed (table, bucket) key must fit int64"
     n_limbs = (len(qids) + 63) // 64
-    wanted_mask = np.zeros((num_tables * n_buckets, n_limbs), dtype=np.uint64)
-    flat_keys = (np.arange(num_tables) * n_buckets)[None, :] + qsig  # (Q, T)
+    flat_keys = (
+        (np.arange(num_tables, dtype=np.int64) << num_planes)[None, :] + qsig
+    )  # (Q, T) packed keys
+    wanted_keys, inv = np.unique(flat_keys, return_inverse=True)  # sorted
+    inv = inv.reshape(flat_keys.shape)
+    wanted_mask = np.zeros((len(wanted_keys), n_limbs), dtype=np.uint64)
     for qi in range(len(qids)):
-        wanted_mask[flat_keys[qi], qi >> 6] |= np.uint64(1) << np.uint64(qi & 63)
+        wanted_mask[inv[qi], qi >> 6] |= np.uint64(1) << np.uint64(qi & 63)
 
     class LshScorer:
         """Small state (planes + queries + probe table) rides in the callable."""
 
         def __init__(self):
             self.planes, self.wanted = planes, wanted_mask
+            self.wkeys = wanted_keys
             self.qids, self.qm = qids, qm
 
         def __call__(self, t: pa.Table) -> pd.DataFrame:
@@ -393,8 +399,12 @@ def embedding_knn_lsh(
             sig = (
                 (proj.reshape(len(ids), num_tables, num_planes) > 0) @ pow2
             )  # (n, T)
-            keys = (np.arange(num_tables) * n_buckets)[None, :] + sig
-            cand = np.bitwise_or.reduce(self.wanted[keys], axis=1)  # (n, limbs)
+            keys = (np.arange(num_tables, dtype=np.int64) << num_planes)[None, :] + sig
+            pos = np.searchsorted(self.wkeys, keys)
+            pos = np.minimum(pos, len(self.wkeys) - 1)
+            hit = self.wkeys[pos] == keys  # (n, T)
+            masks = np.where(hit[..., None], self.wanted[pos], np.uint64(0))
+            cand = np.bitwise_or.reduce(masks, axis=1)  # (n, limbs)
             frames = []
             for qi in range(len(self.qids)):
                 sel = (cand[:, qi >> 6] >> np.uint64(qi & 63)) & np.uint64(1)

@@ -393,3 +393,47 @@ def test_asof_join_tie_break(tmp_path):
     pq.write_table(od, f"{tmp_path}/orders.parquet")
     out = events_asof_orders(str(tmp_path))
     assert out["o_orderkey"].tolist() == [12, 20]
+
+
+def test_lsh_knn_sparse_probe_matches_reference():
+    """The sparse (table,bucket)-key probe must equal an independent
+    brute-force LSH evaluation — including plane counts far beyond the old
+    dense-table cap of 16 (memory there scaled with 2^planes)."""
+    import numpy as np
+    import pandas as pd
+
+    from licenta_crawler_ray.pipelines.similarity import (
+        _normalize, _query_frame, _to_matrix, embedding_knn_lsh,
+    )
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    am = _normalize(_to_matrix(full))
+    aids = full["vec_id"].to_numpy()
+
+    for num_planes, num_tables in [(4, 16), (20, 8)]:
+        qdf = _query_frame(SF_DIR, 5)
+        qm = _normalize(_to_matrix(qdf))
+        qids = qdf["vec_id"].to_numpy()
+        rng = np.random.default_rng(0xB00C)
+        planes = rng.standard_normal((num_tables, num_planes, qm.shape[1]))
+        pow2 = (1 << np.arange(num_planes)).astype(np.int64)
+        qsig = np.stack([((qm @ planes[t].T) > 0) @ pow2
+                         for t in range(num_tables)], axis=1)
+        asig = np.stack([((am @ planes[t].T) > 0) @ pow2
+                         for t in range(num_tables)], axis=1)
+        rows = []
+        for qi, qid in enumerate(qids):
+            cand = (asig == qsig[qi][None, :]).any(axis=1)
+            cand &= aids != qid
+            sims = qm[qi] @ am[cand].T
+            g = pd.DataFrame({"vec_id": aids[cand], "sim": sims})
+            g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+            for r, vid in enumerate(g["vec_id"], 1):
+                rows.append((int(qid), int(vid), r))
+        exp = pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"]) \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        got = embedding_knn_lsh(SF_DIR, num_planes=num_planes,
+                                num_tables=num_tables)
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False), (num_planes, num_tables)
