@@ -181,20 +181,31 @@ def heavy_tokens_sketch(sf_dir: str, k: int = 64, min_share: float = 0.03) -> pd
 # ---------------------------------------------------------------------------
 def distinct_order_count(sf_dir: str) -> pd.DataFrame:
     """Exact count-distinct over a fact-table key: per-batch ``unique``
-    (the combiner — ships distinct keys only), global ``groupby(key)``,
-    then a distributed row count of the groups."""
+    (the combiner — ships distinct keys only), coarse hash-bucket
+    groupby, per-bucket global ``unique`` + count. A direct
+    ``groupby(l_orderkey)`` is the same shuffle volume but pays the
+    per-group overhead 147k× (measured 8.3 s vs ~1 s for this shape at
+    sf0.1); bucketing by ``key & 255`` keeps the exchange and does the
+    distinct count vectorized inside ≤ 256 groups."""
 
     def partial(t: pa.Table) -> pa.Table:
-        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+        u = pc.unique(t["l_orderkey"])
+        b = pc.cast(pc.bit_wise_and(u, pa.scalar(255, pa.int64())), pa.int32())
+        return pa.table({"l_orderkey": u, "bucket": b})
 
-    n = (
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([len(pc.unique(g["l_orderkey"]))], pa.int64())}
+        )
+
+    parts = (
         _pq(sf_dir, "lineitem", columns=["l_orderkey"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Max("l_orderkey", alias_name="x"))
-        .count()
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
     )
-    return pd.DataFrame({"n_orders": [np.int64(n)]})
+    return pd.DataFrame({"n_orders": [np.int64(parts["n"].sum())]})
 
 
 def _clz_rho(w: np.ndarray, width: int) -> np.ndarray:
