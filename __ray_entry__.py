@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": sk.approx_distinct_orders,  # HyperLogLog; rows-only
         "corpus_sample": sk.corpus_sample,                  # SQL-checked (hash Bernoulli)
         "reservoir_sample": sk.reservoir_sample,            # SQL-checked (priority top-k)
+        "stratified_sample": sk.stratified_sample,          # SQL-checked (per-stratum rates)
+        "value_quantiles": sk.value_quantiles,              # histogram sketch; rows-only
     }
 
 
@@ -354,5 +356,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   ORDER BY (doc_id*2654435761) & 4294967295, doc_id
                   LIMIT 50)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) & 4294967295 <
+                  CASE WHEN lang = 'en' THEN 858993459 ELSE 214748364 END
+            ORDER BY doc_id
         """,
     }

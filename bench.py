@@ -42,7 +42,8 @@ QUERY_NAMES = [
     "events_asof_orders", "events_sliding_window", "embedding_kmeans",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",
-    "corpus_sample", "reservoir_sample",
+    "corpus_sample", "reservoir_sample", "stratified_sample",
+    "value_quantiles",
 ]
 
 

@@ -39,7 +39,7 @@ SQL_CHECKED = [
     "top_terms_per_lang", "quality_filter", "corpus_split",
     "events_asof_orders", "events_sliding_window", "token_quantiles",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
-    "reservoir_sample",
+    "reservoir_sample", "stratified_sample",
 ]
 
 
@@ -437,3 +437,38 @@ def test_lsh_knn_sparse_probe_matches_reference():
                                 num_tables=num_tables)
         pd.testing.assert_frame_equal(
             got, exp, check_dtype=False), (num_planes, num_tables)
+
+
+def test_value_quantiles_rank_error_bound(con):
+    """Histogram-sketch quantiles: true rank of each estimate within 2%."""
+    import numpy as np
+
+    from licenta_crawler_ray.pipelines.sketches import value_quantiles
+
+    vq = value_quantiles(SF_DIR)
+    svals = np.sort(con.execute("SELECT value FROM events").df()["value"].to_numpy())
+    n = len(svals)
+    assert len(vq) == 5
+    for q, ve in zip(vq["q"], vq["value_est"]):
+        rank_err = abs(np.searchsorted(svals, ve, side="right") - q * n) / n
+        assert rank_err <= 0.02, (q, ve, rank_err)
+
+
+def test_sketch_ops_empty_corpus(tmp_path):
+    """Quantiles/heavy-hitters/samples must degrade to empty results, not
+    crash, on an empty documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.pipelines.sketches import (
+        heavy_tokens, heavy_tokens_sketch, reservoir_sample, token_quantiles,
+    )
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    d = str(tmp_path)
+    assert len(token_quantiles(d)) == 0
+    assert len(heavy_tokens(d)) == 0
+    assert len(heavy_tokens_sketch(d)) == 0
+    assert len(reservoir_sample(d)) == 0
