@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": rel.priority_revenue,  # large-x-large partitioned hash join
         "events_asof_orders": rel.events_asof_orders,  # as-of join (SQL-checked)
         "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window (SQL-checked)
+        "order_window_shipments": rel.order_window_shipments,  # interval/band join, no equality key (SQL-checked)
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
@@ -323,6 +324,17 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
                                AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "order_window_shipments": """
+            SELECT o.o_orderkey AS o_orderkey,
+                   count(*) AS n_items,
+                   round(sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100
+                                        + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
+            FROM orders o
+            JOIN lineitem l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1 ORDER BY 1
         """,
         "token_quantiles": r"""
             WITH t AS (SELECT len(regexp_extract_all(text, '\S+')) AS n

@@ -39,7 +39,8 @@ QUERY_NAMES = [
     "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
     "embedding_neardup_dedup",
     "embedding_knn_ivf",
-    "events_asof_orders", "events_sliding_window", "embedding_kmeans",
+    "events_asof_orders", "events_sliding_window", "order_window_shipments",
+    "embedding_kmeans",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",
     "corpus_sample", "reservoir_sample", "stratified_sample",

@@ -471,3 +471,122 @@ def events_sliding_window(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
+    """Range (interval) join with NO equality key — the third custom join
+    the brief names alongside as-of and windowed, and the one a hash join
+    cannot express: each order matched to EVERY lineitem whose
+    ``l_shipdate`` falls in ``[o_orderdate, o_orderdate + days)``,
+    aggregated to a per-order shipment count + revenue.
+
+    Scale shape (textbook band join): bin the time axis at exactly the
+    window width W. A probe row (lineitem) lands in ONE bin
+    (``shipdate // W``); a build row (order) overlaps AT MOST TWO
+    consecutive bins, so it is replicated into ≤ 2 rows. One
+    ``groupby(bin)`` co-partitions them; inside a bin the probe side
+    sorts once and every order resolves its bin-local window slice with
+    two ``np.searchsorted`` calls over prefix sums — the 1.1M matching
+    (order, lineitem) pairs at sf0.01 are never materialized, per-bin
+    work is O(n log n). The ≤ 2 partial rows per order then merge in a
+    second, tiny ``groupby(o_orderkey)`` (2·|orders| rows enter it —
+    orders-of-magnitude below the pair count a nested-loop join ships).
+
+    Revenue accumulates in integer cents (``floor(price·(1-disc)·100 +
+    0.5)`` per item) so partial sums merge exactly and match the oracle
+    independent of summation order. Orders with an empty window are
+    dropped (inner join) to keep the output hash-stable.
+
+    Partitioning assumption: one bin's lineitems fit a worker (bin width
+    = W; widen ``days`` buckets or sub-split hot bins if a single window
+    of real data outgrows a worker — same knob family as
+    ``_USER_BUCKETS``)."""
+    W = np.int64(days) * 86_400_000_000  # window/bin width in microseconds
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "bin": pc.divide(ship, pa.scalar(W, pa.int64())),
+            "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
+            "ts": ship,
+            "cents": cents,
+            "o_orderkey": pa.nulls(len(t), pa.int64()),
+        })
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        start = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = start // W
+        b1 = (start + W - 1) // W  # last bin the half-open window touches
+        two = b1 != b0
+        bins = np.concatenate([b0, b1[two]])
+        starts = np.concatenate([start, start[two]])
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keys = np.concatenate([keys, keys[two]])
+        n = len(bins)
+        return pa.table({
+            "bin": pa.array(bins, pa.int64()),
+            "kind": pa.nulls(n, pa.int8()).fill_null(0),
+            "ts": pa.array(starts, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "o_orderkey": pa.array(keys, pa.int64()),
+        })
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+    od = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(od_partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                              "n_items": pd.Series([], dtype="int64"),
+                              "cents": pd.Series([], dtype="int64")})
+        items = g.loc[g["kind"] == 1]
+        orders = g.loc[g["kind"] == 0]
+        if items.empty or orders.empty:
+            return empty
+        ship = np.sort(items["ts"].to_numpy().astype(np.int64))
+        order = np.argsort(items["ts"].to_numpy().astype(np.int64), kind="stable")
+        csum = np.concatenate(
+            [[np.int64(0)],
+             np.cumsum(items["cents"].to_numpy().astype(np.int64)[order])])
+        start = orders["ts"].to_numpy().astype(np.int64)
+        lo = np.searchsorted(ship, start, side="left")
+        hi = np.searchsorted(ship, start + W, side="left")  # end exclusive
+        n = hi - lo
+        keep = n > 0  # an order's other-bin replica reports its own slice
+        keys = orders["o_orderkey"].to_numpy().astype(np.int64)[keep]
+        return pd.DataFrame({
+            "o_orderkey": keys,
+            "n_items": n[keep].astype(np.int64),
+            "cents": (csum[hi[keep]] - csum[lo[keep]]).astype(np.int64),
+            "obucket": (keys & 31).astype(np.int32),
+        })
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per ORDER KEY through Ray's groupby is pathologically
+        # slow (measured 25 s for 29k rows / 15k keys); coarse buckets +
+        # a vectorized pandas groupby inside do the same merge in ms —
+        # the same lesson the distinct-count sketch learned (see
+        # sketches.distinct_order_count)
+        m = g.groupby("o_orderkey", sort=False)[["n_items", "cents"]].sum()
+        return pd.DataFrame({
+            "o_orderkey": m.index.to_numpy().astype(np.int64),
+            "n_items": m["n_items"].to_numpy().astype(np.int64),
+            "revenue": np.round(m["cents"].to_numpy() / 100.0, 2),
+        })
+
+    out = (
+        li.union(od)
+        .groupby("bin")
+        .map_groups(per_bin, batch_format="pandas")
+        .repartition(8)  # coalesce one-tiny-block-per-bin before the sort
+        .groupby("obucket")
+        .map_groups(merge_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -37,7 +37,8 @@ SQL_CHECKED = [
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "quality_filter", "corpus_split",
-    "events_asof_orders", "events_sliding_window", "token_quantiles",
+    "events_asof_orders", "events_sliding_window", "order_window_shipments",
+    "token_quantiles",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
     "reservoir_sample", "stratified_sample",
 ]
