@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus statistics & curation
         "token_hist": tx.token_hist,                        # SQL-checked
         "top_terms_per_lang": tx.top_terms_per_lang,        # SQL-checked
+        "distinctive_terms": tx.distinctive_terms,          # SQL-checked (integer tf-idf gate)
         "quality_filter": tx.quality_filter,                # SQL-checked
         "corpus_split": tx.corpus_split,                    # SQL-checked
         # --- similarity search
@@ -249,6 +250,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT lang, word, n, rank FROM r WHERE rank <= 5
             ORDER BY lang, rank
+        """,
+        "distinctive_terms": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT t.doc_id AS doc_id, t.term AS term, t.tf AS tf, d.df AS df
+            FROM tf t JOIN df d USING (term) CROSS JOIN n
+            WHERE t.tf >= 1 AND d.df * 100 <= n.n * 10
+            ORDER BY doc_id, term
         """,
         "quality_filter": r"""
             WITH s AS (

@@ -34,7 +34,8 @@ QUERY_NAMES = [
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "doc_fingerprints", "neardup_dedup_minhash",
-    "token_hist", "top_terms_per_lang", "quality_filter", "corpus_split",
+    "token_hist", "top_terms_per_lang", "distinctive_terms",
+    "quality_filter", "corpus_split",
     "embedding_knn",
     "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
     "embedding_neardup_dedup",

@@ -1117,6 +1117,76 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+_TERM_BUCKETS = 64  # hash co-partitions for the term-keyed df⋈tf join
+
+
+def distinctive_terms(sf_dir: str, min_tf: int = 1,
+                      max_df_pct: int = 10) -> pd.DataFrame:
+    """Keyword extraction, tf-idf style but integer-exact: for every doc,
+    the terms that are globally rare (document frequency ≤
+    ``max_df_pct``% of the corpus; optionally also locally repeated,
+    ``tf ≥ min_tf``). All comparisons are integer (``df·100 ≤ N·pct``),
+    so the output is hash-stable against the SQL oracle — no float-scored
+    ranking to drift at ties.
+
+    Scale shape — a large×large STRING-keyed join done as one co-partition
+    instead of a shuffle join: each batch emits (a) per-term partial
+    doc-frequency counts (combiner: ≤ batch-vocab rows) and (b) the
+    tf-filtered candidate rows; both streams carry an FNV hash-bucket of
+    the term, so a single ``groupby(bucket)`` co-locates every partial and
+    candidate of a term, and the df sum + join + filter run vectorized
+    inside the bucket. With ``min_tf > 1`` the shuffle never carries the
+    bulk of (doc, term) pairs — only vocab-bounded partials + candidates
+    (the default stays 1 because the synthetic corpus has almost no
+    within-doc repetition to survive a higher gate).
+
+    Tokenizer is the corpus-wide frozen spec (``str.split`` ≡ ``\\S+``,
+    shared with token_counts/top_terms_per_lang and their oracles)."""
+    n_docs = _docs(sf_dir, columns=["doc_id"]).count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        docs, terms = [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            docs.extend([d] * len(toks))
+            terms.extend(toks)
+        tf = pd.DataFrame({"doc_id": docs, "term": terms}).groupby(
+            ["doc_id", "term"], as_index=False).size()
+        dfp = tf.groupby("term", as_index=False).size()  # docs-per-term here
+        cand = tf.loc[tf["size"] >= min_tf]
+        out = pd.concat([
+            pd.DataFrame({"term": dfp["term"], "kind": np.int8(0),
+                          "doc_id": np.int64(-1), "val": dfp["size"]}),
+            pd.DataFrame({"term": cand["term"], "kind": np.int8(1),
+                          "doc_id": cand["doc_id"], "val": cand["size"]}),
+        ], ignore_index=True)
+        out["val"] = out["val"].astype("int64")
+        out["bucket"] = (hash_strings(pa.array(out["term"], pa.string()))
+                         % _TERM_BUCKETS).astype(np.int32)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfc = g.loc[g["kind"] == 0].groupby("term")["val"].sum()
+        cand = g.loc[g["kind"] == 1]
+        df_of = cand["term"].map(dfc).to_numpy()
+        keep = df_of * 100 <= n_docs * max_df_pct
+        return pd.DataFrame({
+            "doc_id": cand["doc_id"].to_numpy()[keep].astype(np.int64),
+            "term": cand["term"].to_numpy()[keep],
+            "tf": cand["val"].to_numpy()[keep].astype(np.int64),
+            "df": df_of[keep].astype(np.int64),
+        })
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup — Manku/Jain/Sarma rotation-block bucketing (WWW'07)
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ SQL_CHECKED = [
     "lang_hist", "lang_id", "token_counts", "quality_scores",
     "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
-    "top_terms_per_lang", "quality_filter", "corpus_split",
+    "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
     "events_asof_orders", "events_sliding_window", "order_window_shipments",
     "token_quantiles",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
