@@ -452,6 +452,18 @@ def events_sliding_window(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         base = ts.min()
         span = ts.max() - base + W + 2  # composite key stride (no overlap)
+        # scale bound: the composite key needs users-per-bucket × span <
+        # 2^63 (~3e5 users per bucket at a 1-year microsecond span). Guard
+        # explicitly — silent int64 wraparound would corrupt searchsorted
+        # window bounds. Remedy at scale: raise _USER_BUCKETS (fewer users
+        # per bucket) or bucket time coarser than microseconds.
+        n_users = int(uidx[-1]) + 1 if len(uidx) else 0
+        if n_users and int(span) > (2**63 - 1) // n_users:
+            raise ValueError(
+                f"sliding-window composite key would overflow int64: "
+                f"{n_users} users x span {int(span)} us in one bucket; "
+                f"increase _USER_BUCKETS"
+            )
         key = uidx * span + (ts - base)
         lo = np.searchsorted(key, uidx * span + (ts - base - W), side="left")
         hi = np.searchsorted(key, key, side="right")
@@ -509,8 +521,12 @@ def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), t["l_discount"])),
             pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        # bin with FLOOR division (numpy //) to match od_partial — Arrow
+        # pc.divide truncates toward zero, which disagrees on negative
+        # (pre-1970) timestamps and would silently drop matches
+        bins = ship.to_numpy(zero_copy_only=False) // W
         return pa.table({
-            "bin": pc.divide(ship, pa.scalar(W, pa.int64())),
+            "bin": pa.array(bins, pa.int64()),
             "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
             "ts": ship,
             "cents": cents,
@@ -542,9 +558,14 @@ def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
         .map_batches(od_partial, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
 
     def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        # the empty frame must carry the SAME 4-column schema as the
+        # populated branch (incl. obucket) — heterogeneous block schemas
+        # feeding groupby('obucket') are undefined behavior across Ray
+        # versions (round-3 advice)
         empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
                               "n_items": pd.Series([], dtype="int64"),
-                              "cents": pd.Series([], dtype="int64")})
+                              "cents": pd.Series([], dtype="int64"),
+                              "obucket": pd.Series([], dtype="int32")})
         items = g.loc[g["kind"] == 1]
         orders = g.loc[g["kind"] == 0]
         if items.empty or orders.empty:

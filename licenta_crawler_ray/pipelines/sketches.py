@@ -345,8 +345,15 @@ def value_quantiles(sf_dir: str, bins: int = 4096) -> pd.DataFrame:
     unlike a KLL/GK sketch there is no randomness and merging is order-
     independent, which this repo values above the tighter worst-case
     rank bound. Rows-only (approximate)."""
+    empty = pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                          "value_est": pd.Series([], dtype="float64")})
     ds = _pq(sf_dir, "events", columns=["value"])
     stats = ds.aggregate(RayMin("value"), RayMax("value"))
+    # empty events table: ds.aggregate returns None (and the grouped
+    # histogram below would be column-less) — degrade to the empty frame,
+    # mirroring token_quantiles' empty-corpus path (round-3 advice)
+    if stats is None or stats.get("min(value)") is None:
+        return empty
     vmin, vmax = float(stats["min(value)"]), float(stats["max(value)"])
     if not np.isfinite(vmin) or vmax <= vmin:
         vmax = vmin + 1.0
@@ -364,13 +371,12 @@ def value_quantiles(sf_dir: str, bins: int = 4096) -> pd.DataFrame:
         .groupby("bin")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("bin")
     )
+    if hist.empty:  # guard BEFORE sort_values — the empty grouped frame
+        return empty  # is column-less (KeyError on 'bin')
+    hist = hist.sort_values("bin")
     edges = vmin + (hist["bin"].to_numpy(np.int64) + 1) * width
     cum = hist["cnt"].to_numpy(np.int64).cumsum()
-    if not len(cum):
-        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
-                             "value_est": pd.Series([], dtype="float64")})
     total = int(cum[-1])
     out = []
     for q in QUANTILES:

@@ -473,3 +473,19 @@ def test_sketch_ops_empty_corpus(tmp_path):
     assert len(heavy_tokens(d)) == 0
     assert len(heavy_tokens_sketch(d)) == 0
     assert len(reservoir_sample(d)) == 0
+
+
+def test_value_quantiles_empty_events(tmp_path):
+    """The continuous-value sketch degrades like its token sibling on an
+    empty events table (round-3 advice: it crashed on the None aggregate
+    and the column-less grouped frame)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.pipelines.sketches import value_quantiles
+
+    t = pa.table({"event_id": pa.array([], type=pa.int64()),
+                  "value": pa.array([], type=pa.float64())})
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = value_quantiles(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["q", "value_est"]
