@@ -28,7 +28,6 @@ cluster-size-independent, and exactly reproducible in DuckDB.
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pandas as pd
@@ -37,7 +36,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max as RayMax, Min as RayMin, Sum
 
-from .textops import _docs
+from .textops import _docs, token_counts_per_doc, tokens_arrow
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 _MASK32 = 4294967295
@@ -70,15 +69,16 @@ def token_quantiles(sf_dir: str) -> pd.DataFrame:
     table is bounded by the cardinality of the measure (doc lengths),
     never the corpus. Quantile convention matches DuckDB ``quantile_disc``:
     the element at 1-based index ``ceil(q * n)`` of the sorted values."""
-    ws = re.compile(r"\S+")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["text"].str.count(ws)
-        return n.value_counts().rename_axis("n_tokens").reset_index(name="cnt")
+    def partial(t: pa.Table) -> pa.Table:
+        n = token_counts_per_doc(t["text"])  # shared byte-split kernel
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.table({"n_tokens": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
 
     hist = (
         _docs(sf_dir, columns=["text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby("n_tokens")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
@@ -106,16 +106,21 @@ def heavy_tokens(sf_dir: str, min_share: float = 0.03) -> pd.DataFrame:
     tokens. One pass: per-batch (word, n) partials → global sum; the total
     is the sum over the vocab-bounded grouped table, so no second scan.
     The threshold multiplies in float64 on both sides (the SQL oracle
-    casts ``min_share`` to DOUBLE) so boundary counts classify identically."""
+    casts ``min_share`` to DOUBLE) so boundary counts classify identically.
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = [w for t in df["text"] for w in t.split()]
-        s = pd.Series(words, dtype="object").value_counts()
-        return s.rename_axis("word").reset_index(name="n")
+    Tokenization + counting stay Arrow-native (shared byte-split kernel →
+    ``pc.value_counts``): the round-3 verdict measured the former Python
+    token-list explode as this operator's per-batch floor."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _ = tokens_arrow(t["text"])
+        vc = pc.value_counts(toks)
+        return pa.table({"word": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts")})
 
     counts = (
         _docs(sf_dir, columns=["text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -127,16 +132,6 @@ def heavy_tokens(sf_dir: str, min_share: float = 0.03) -> pd.DataFrame:
     total = float(counts["n"].sum())
     out = counts[counts["n"] >= min_share * total]
     return out.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
-
-
-def _mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
-    """Misra-Gries compression: decrement all counters by the (k+1)-th
-    largest and keep the positive survivors (≤ k of them)."""
-    if len(words) <= k:
-        return words, counts
-    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
-    keep = counts > kth
-    return words[keep], counts[keep] - kth
 
 
 def heavy_tokens_sketch(sf_dir: str, k: int = 64, min_share: float = 0.03) -> pd.DataFrame:
@@ -155,20 +150,32 @@ def heavy_tokens_sketch(sf_dir: str, k: int = 64, min_share: float = 0.03) -> pd
     :func:`heavy_tokens` on a skewed corpus."""
     assert 1.0 / (k + 1) < min_share, "k too small to retain min_share hitters"
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = pd.Series(
-            [w for t in df["text"] for w in t.split()], dtype="object"
-        ).value_counts()
-        total = int(s.sum())
-        w, c = _mg_compress(s.index.to_numpy(object), s.to_numpy(np.int64), k)
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _ = tokens_arrow(t["text"])  # Arrow-native tokenize + count
+        vc = pc.value_counts(toks)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(cnts.sum())
+        # MG compress on the COUNTS alone; only the ≤ k surviving words
+        # ever become strings again (Arrow filter-gather, not a pylist of
+        # the whole batch vocab)
+        if len(cnts) > k:
+            kth = np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1]
+            keep = cnts > kth
+            words = vc.field("values").filter(pa.array(keep)).cast(pa.string())
+            c = cnts[keep] - kth
+        else:
+            words = vc.field("values").cast(pa.string())
+            c = cnts
         # one summary-total row per batch (word="" sorts apart from real
         # tokens) so the global threshold needs no second pass
-        return pd.DataFrame({"word": np.concatenate([w, [""]]),
-                             "n": np.concatenate([c, [total]])})
+        return pa.table({
+            "word": pa.concat_arrays([words, pa.array([""], pa.string())]),
+            "n": pa.array(np.concatenate([c, [total]]), pa.int64()),
+        })
 
     merged = (
         _docs(sf_dir, columns=["text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

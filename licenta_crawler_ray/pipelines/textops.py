@@ -631,6 +631,118 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared whitespace tokenizer kernel (byte-level, vectorized)
+#
+# One frozen tokenization spec (token = maximal run of non-whitespace,
+# exactly ``str.split()``) shared by every term-family operator: the
+# MinHash signatures, heavy_tokens / heavy_tokens_sketch, top_terms_per_lang
+# and distinctive_terms. The round-3 verdict measured the Python-list
+# explode these ops used as their per-batch floor; this kernel is the same
+# numpy byte splitter the MinHash path already proved 3-5× cheaper.
+# ---------------------------------------------------------------------------
+
+# byte values Python's str.split() treats as whitespace in the ASCII
+# range: \t \n \v \f \r space and the information separators 1C-1F
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+# UTF-8 LEAD bytes that can start a non-ASCII whitespace codepoint
+# (U+0085/U+00A0 → C2; U+1680 → E1; U+2000-200A/2028/2029/202F/205F →
+# E2; U+3000 → E3). Their presence routes the batch to the scalar
+# frozen-spec path; any other multibyte text (C3.., E0, F0 …) stays on
+# the fast path because no whitespace codepoint can hide in it.
+_UNICODE_WS_LEADS = np.array([0xC2, 0xE1, 0xE2, 0xE3], dtype=np.uint8)
+
+
+def _byte_split_ws(texts: pa.Array):
+    """Byte-level whitespace split over a string array's flat utf-8 buffer.
+
+    Returns ``(span, start_pos, tok_len, tok_doc)`` — the batch's flat
+    byte buffer, each token's start offset and byte length within it, and
+    the owning document index — or ``None`` when the batch contains a
+    byte that could lead a non-ASCII whitespace codepoint (the caller
+    must fall back to the scalar ``str.split`` path). NOT
+    ``pc.utf8_split_whitespace``: that kernel's UTF-8 decode reads past
+    slice ends and intermittently mis-tokenizes depending on allocator
+    garbage (reproduced on this pyarrow with a trailing tab at the buffer
+    end); ASCII whitespace splitting here is exact vs ``str.split()``
+    (property-tested)."""
+    arr = texts.cast(pa.large_string())
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset
+    )[arr.offset:]
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.empty(0, dtype=np.uint8))
+    span = data[offs[0]: offs[-1]]
+    e64 = np.empty(0, dtype=np.int64)
+    if len(span) == 0:
+        return span, e64, e64, e64
+    if np.isin(span, _UNICODE_WS_LEADS).any():
+        return None
+    doc_starts = (offs - offs[0])[:-1]
+    nonws = ~_WS_BYTES[span]
+    prev_nonws = np.empty(len(span), dtype=bool)
+    prev_nonws[0] = False
+    prev_nonws[1:] = nonws[:-1]
+    # force a token break at every document boundary (tokens never span docs)
+    prev_nonws[doc_starts[doc_starts < len(span)]] = False
+    starts_mask = nonws & ~prev_nonws
+    start_pos = np.flatnonzero(starts_mask)
+    if len(start_pos) == 0:
+        return span, e64, e64, e64
+    tok_id = np.cumsum(starts_mask) - 1
+    tok_len = np.bincount(tok_id[nonws])
+    tok_doc = (np.searchsorted(doc_starts, start_pos, side="right") - 1).astype(np.int64)
+    return span, start_pos.astype(np.int64), tok_len.astype(np.int64), tok_doc
+
+
+def tokens_arrow(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """All whitespace tokens of the batch as ONE Arrow ``large_string``
+    array (in document order), plus each token's owning doc index.
+
+    The token strings are cut from the flat buffer with a single
+    fancy-index gather into a fresh contiguous buffer (no Python string
+    objects anywhere); batches that could contain non-ASCII whitespace
+    fall back to the scalar spec. Feed the result straight into
+    ``pc.value_counts`` / ``pa.Table.group_by`` — Arrow hashes the
+    strings at C speed."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = _byte_split_ws(texts)
+    if split is None:  # scalar frozen-spec fallback (rare batches)
+        toks: list[str] = []
+        docs: list[int] = []
+        for i, t in enumerate(texts.to_pylist()):
+            tt = t.split()
+            toks.extend(tt)
+            docs.extend([i] * len(tt))
+        return pa.array(toks, pa.large_string()), np.asarray(docs, dtype=np.int64)
+    span, start_pos, tok_len, tok_doc = split
+    out_offs = np.zeros(len(start_pos) + 1, dtype=np.int64)
+    np.cumsum(tok_len, out=out_offs[1:])
+    idx = (np.repeat(start_pos - out_offs[:-1], tok_len)
+           + np.arange(out_offs[-1], dtype=np.int64))
+    arr = pa.Array.from_buffers(
+        pa.large_string(), len(start_pos),
+        [None, pa.py_buffer(out_offs), pa.py_buffer(span[idx])],
+    )
+    return arr, tok_doc
+
+
+def token_counts_per_doc(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """``len(text.split())`` for every doc in the batch, vectorized (the
+    counting-only sibling of :func:`tokens_arrow` — no string gather)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = _byte_split_ws(texts)
+    if split is None:
+        return np.array([len(t.split()) for t in texts.to_pylist()],
+                        dtype=np.int64)
+    _, _, _, tok_doc = split
+    return np.bincount(tok_doc, minlength=len(texts)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the 10^10-scale path; verified against exact)
 # ---------------------------------------------------------------------------
 NUM_PERM = 128
@@ -707,65 +819,28 @@ class MinHasher:
         uh = hash_strings(pa.array(uniq, type=pa.string()))
         return self._sig_matrix(uh[codes], counts)
 
-    # byte values Python's str.split() treats as whitespace in the ASCII
-    # range: \t \n \v \f \r space and the information separators 1C-1F
-    _WS_BYTES = np.zeros(256, dtype=bool)
-    _WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
-    # UTF-8 LEAD bytes that can start a non-ASCII whitespace codepoint
-    # (U+0085/U+00A0 → C2; U+1680 → E1; U+2000-200A/2028/2029/202F/205F →
-    # E2; U+3000 → E3). Their presence routes the batch to the scalar
-    # frozen-spec path; any other multibyte text (C3.., E0, F0 …) stays on
-    # the fast path because no whitespace codepoint can hide in it.
-    _UNICODE_WS_LEADS = np.array([0xC2, 0xE1, 0xE2, 0xE3], dtype=np.uint8)
-
     def signatures_arrow(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         """Vectorized unigram path: tokens never become Python objects.
 
-        Tokenization is a deterministic numpy BYTE-level split on the flat
-        utf-8 buffer (whitespace lookup table → token start mask → bincount
-        lengths), NOT ``pc.utf8_split_whitespace`` — that kernel's UTF-8
-        decode reads past slice ends and intermittently mis-tokenizes
-        depending on allocator garbage (reproduced on this pyarrow with a
-        trailing tab at the buffer end). ASCII whitespace splitting is
-        exact vs ``str.split()``; batches containing bytes that could lead
-        a non-ASCII whitespace codepoint fall back to the scalar
+        Tokenization is the shared module-level byte-split kernel
+        (:func:`_byte_split_ws` — see its docstring for why NOT
+        ``pc.utf8_split_whitespace``); batches containing bytes that could
+        lead a non-ASCII whitespace codepoint fall back to the scalar
         frozen-spec path (property-tested equivalence either way). Per-doc
         distinct hashes come from one lexsort + boundary scan; ~3× less
         per-doc CPU than the factorize form."""
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n = len(texts)
-        arr = texts.cast(pa.large_string())
-        offs = np.frombuffer(
-            arr.buffers()[1], dtype=np.int64, count=len(arr) + 1 + arr.offset
-        )[arr.offset:]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        span = data[offs[0]: offs[-1]]
-        if len(span) == 0:
-            return self._sig_matrix(
-                np.empty(0, np.uint64), np.zeros(n, dtype=np.int64))
-        if np.isin(span, self._UNICODE_WS_LEADS).any():
+        split = _byte_split_ws(texts)
+        if split is None:
             return self.signatures(texts.to_pylist())
-        doc_starts = (offs - offs[0])[:-1]
-        nonws = ~self._WS_BYTES[span]
-        prev_nonws = np.empty(len(span), dtype=bool)
-        prev_nonws[0] = False
-        prev_nonws[1:] = nonws[:-1]
-        # force a token break at every document boundary
-        prev_nonws[doc_starts[doc_starts < len(span)]] = False
-        starts_mask = nonws & ~prev_nonws
-        start_pos = np.flatnonzero(starts_mask)
+        span, start_pos, tok_len, tok_doc = split
         if len(start_pos) == 0:
             return self._sig_matrix(
                 np.empty(0, np.uint64), np.zeros(n, dtype=np.int64))
-        tok_id = np.cumsum(starts_mask) - 1
-        tok_len = np.bincount(tok_id[nonws])
-        # ... but a token must not run across a doc boundary into ws-free
-        # territory: boundaries forced above guarantee tokens never span
-        # docs, so lengths are correct as counted
-        tok_doc = np.searchsorted(doc_starts, start_pos, side="right") - 1
         h = fnv1a64_bytes_np(span, starts=start_pos, lengths=tok_len)
-        seg = tok_doc.astype(np.int64)
+        seg = tok_doc
         order = np.lexsort((h, seg))
         h_s, seg_s = h[order], seg[order]
         keep = np.r_[True, (seg_s[1:] != seg_s[:-1]) | (h_s[1:] != h_s[:-1])]
@@ -1058,17 +1133,18 @@ TOKEN_HIST_BUCKET = 50
 def token_hist(sf_dir: str) -> pd.DataFrame:
     """Histogram of per-doc whitespace-token counts in buckets of 50 —
     the length-distribution audit every corpus build runs. Partial count
-    per batch; the shuffle moves one row per (batch, bucket)."""
-    ws = re.compile(r"\S+")
+    per batch (shared byte-split kernel, no per-row regex); the shuffle
+    moves one row per (batch, bucket)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lo = (df["text"].str.count(ws) // TOKEN_HIST_BUCKET) * TOKEN_HIST_BUCKET
-        out = lo.value_counts().rename_axis("bucket_lo").reset_index(name="n")
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        lo = (token_counts_per_doc(t["text"]) // TOKEN_HIST_BUCKET) * TOKEN_HIST_BUCKET
+        vals, cnts = np.unique(lo, return_counts=True)
+        return pa.table({"bucket_lo": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
 
     out = (
         _docs(sf_dir, columns=["text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket_lo")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -1085,18 +1161,22 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     shuffle at one row per batch-distinct term) → global sum → per-lang
     top-k (one group per LANGUAGE, each bounded by the vocabulary).
     Tie-break: higher count first, then lexicographic word.
+
+    The explode is Arrow-native end to end (shared byte-split kernel →
+    ``pc.take`` of the lang column → Arrow hash group_by): tokens never
+    become Python objects (round-3 verdict's term-family finding).
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        langs, words = [], []
-        for lang, text in zip(df["lang"], df["text"]):
-            toks = text.split()
-            words.extend(toks)
-            langs.extend([lang] * len(toks))
-        c = pd.DataFrame({"lang": langs, "word": words}).groupby(
-            ["lang", "word"], as_index=False
-        ).size().rename(columns={"size": "n"})
-        return c
+    def partial(t: pa.Table) -> pa.Table:
+        toks, tok_doc = tokens_arrow(t["text"])
+        g = pa.table({
+            "lang": pc.take(t["lang"].combine_chunks(),
+                            pa.array(tok_doc, pa.int64())),
+            "word": toks,
+        }).group_by(["lang", "word"]).aggregate([("word", "count")])
+        return pa.table({"lang": g["lang"],
+                         "word": g["word"].cast(pa.string()),
+                         "n": g["word_count"]})
 
     def per_lang(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "word"], ascending=[False, True],
@@ -1106,7 +1186,7 @@ def top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     out = (
         _docs(sf_dir, columns=["lang", "text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby(["lang", "word"])
         .aggregate(Sum("n", alias_name="n"))
         .groupby("lang")
@@ -1144,26 +1224,34 @@ def distinctive_terms(sf_dir: str, min_tf: int = 1,
     shared with token_counts/top_terms_per_lang and their oracles)."""
     n_docs = _docs(sf_dir, columns=["doc_id"]).count()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        docs, terms = [], []
-        for d, text in zip(df["doc_id"], df["text"]):
-            toks = text.split()
-            docs.extend([d] * len(toks))
-            terms.extend(toks)
-        tf = pd.DataFrame({"doc_id": docs, "term": terms}).groupby(
-            ["doc_id", "term"], as_index=False).size()
-        dfp = tf.groupby("term", as_index=False).size()  # docs-per-term here
-        cand = tf.loc[tf["size"] >= min_tf]
-        out = pd.concat([
-            pd.DataFrame({"term": dfp["term"], "kind": np.int8(0),
-                          "doc_id": np.int64(-1), "val": dfp["size"]}),
-            pd.DataFrame({"term": cand["term"], "kind": np.int8(1),
-                          "doc_id": cand["doc_id"], "val": cand["size"]}),
-        ], ignore_index=True)
-        out["val"] = out["val"].astype("int64")
-        out["bucket"] = (hash_strings(pa.array(out["term"], pa.string()))
-                         % _TERM_BUCKETS).astype(np.int32)
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native explode: shared byte-split kernel → take(doc_id) →
+        # hash group_by; tokens never become Python objects (round-3
+        # verdict's term-family finding)
+        toks, tok_doc = tokens_arrow(t["text"])
+        tf = pa.table({
+            "doc_id": pc.take(t["doc_id"].combine_chunks(),
+                              pa.array(tok_doc, pa.int64())),
+            "term": toks,
+        }).group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        dfp = tf.group_by("term").aggregate([("doc_id", "count")])
+        cand = tf.filter(pc.greater_equal(tf["term_count"],
+                                          pa.scalar(min_tf, pa.int64())))
+        n0, n1 = len(dfp), len(cand)
+        out = pa.table({
+            "term": pa.concat_arrays(
+                [dfp["term"].combine_chunks().cast(pa.string()),
+                 cand["term"].combine_chunks().cast(pa.string())]),
+            "kind": pa.array(np.r_[np.zeros(n0, np.int8), np.ones(n1, np.int8)]),
+            "doc_id": pa.concat_arrays(
+                [pa.array(np.full(n0, -1, np.int64)),
+                 cand["doc_id"].combine_chunks().cast(pa.int64())]),
+            "val": pa.concat_arrays(
+                [dfp["doc_id_count"].combine_chunks().cast(pa.int64()),
+                 cand["term_count"].combine_chunks().cast(pa.int64())]),
+        })
+        bucket = (hash_strings(out["term"]) % _TERM_BUCKETS).astype(np.int32)
+        return out.append_column("bucket", pa.array(bucket))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dfc = g.loc[g["kind"] == 0].groupby("term")["val"].sum()
@@ -1179,7 +1267,7 @@ def distinctive_terms(sf_dir: str, min_tf: int = 1,
 
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
