@@ -310,26 +310,35 @@ def embedding_neardup_dedup_to_parquet(
     through the driver — only this summary dict does."""
     import shutil
 
-    from .graph import connected_components_from_edge_partitions
+    from .graph import (
+        connected_components_from_edge_partitions,
+        write_id_sidecar,
+        write_symmetric_edges,
+    )
 
     edges_dir = os.path.join(workdir, "edges")
+    ids_dir = os.path.join(workdir, "ids")
     clusters_dir = os.path.join(workdir, "clusters")
     shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(ids_dir, ignore_errors=True)
     shutil.rmtree(clusters_dir, ignore_errors=True)
 
     # streaming: IVF pair Dataset → symmetric sharded edge sink (shared
     # helper — the shard math MUST match the CC loaders'). Duplicate pair
     # rows from multi-bucket overlap become duplicate edges, which
     # min-label propagation is insensitive to.
-    from .graph import write_symmetric_edges
-
     write_symmetric_edges(
         _ivf_pairs_ds(sf_dir, threshold), "vec_a", "vec_b",
         edges_dir, num_shards,
     )
+    # shard-partitioned vec_id sidecar so each CC shard reads only its
+    # own node slice (O(N) total instead of O(P·N) — round-3 verdict)
+    write_id_sidecar(os.path.join(sf_dir, "embeddings.parquet"),
+                     ids_dir, num_shards, id_column="vec_id")
     n = connected_components_from_edge_partitions(
         edges_dir, os.path.join(sf_dir, "embeddings.parquet"),
         num_shards, write_dir=clusters_dir, id_column="vec_id",
+        ids_dir=ids_dir,
     )
     n_groups = len(
         rd.read_parquet(clusters_dir, columns=["group_id"]).unique("group_id")
@@ -492,7 +501,7 @@ def embedding_knn_ivf(
 # Distributed k-means (Lloyd's) over the full embedding table
 # ---------------------------------------------------------------------------
 def _kmeans_fit(
-    sf_dir: str, k: int, iters: int
+    sf_dir: str, k: int, iters: int, ds=None
 ) -> tuple[np.ndarray, list[float]]:
     """Full-corpus Lloyd's iterations: each pass is one ``map_batches``
     emitting per-batch per-cluster partial sums/counts (k rows per batch —
@@ -511,7 +520,13 @@ def _kmeans_fit(
         .to_pandas().sort_values("vec_id")
     )
     cent = _to_matrix(init)
-    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    # materialize ONCE: Lloyd's makes iters+1 passes over the table; without
+    # this each pass re-executes the parquet read (round-3 verdict #3). The
+    # blocks stay object-store-resident Arrow (spillable), the same trade
+    # the minhash verify makes for its candidate set. Callers that also
+    # scan the table afterwards (the assignment pass) share the handle.
+    if ds is None:
+        ds = _emb(sf_dir, columns=["vec_id", "embedding"]).materialize()
     inertia_hist: list[float] = []
     for _ in range(iters):
         def partial(t: pa.Table, C=cent) -> pa.Table:
@@ -548,7 +563,8 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
     """Cluster assignment for every embedding after ``iters`` distributed
     Lloyd's rounds (rows-only: iterative, not SQL-expressible; determinism
     and inertia monotonicity are pytest-verified)."""
-    cent, _ = _kmeans_fit(sf_dir, k, iters)
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"]).materialize()
+    cent, _ = _kmeans_fit(sf_dir, k, iters, ds=ds)
 
     def assign(t: pa.Table, C=cent) -> pa.Table:
         ids, m = _arrow_matrix(t)
@@ -558,8 +574,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
                          "cluster": pa.array(np.argmin(d, axis=1).astype(np.int32))})
 
     out = (
-        _emb(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
     return out.sort_values("vec_id").reset_index(drop=True)

@@ -81,11 +81,13 @@ def main() -> None:
 
     from licenta_crawler_ray.pipelines.graph import (
         connected_components_from_edge_partitions,
+        write_id_sidecar,
     )
     from licenta_crawler_ray.pipelines.textops import write_neardup_edges
 
     wd = os.path.join(PROBE_DIR, "dedup_out")
     edges_dir = os.path.join(wd, "edges")
+    ids_dir = os.path.join(wd, "ids")
     clusters_dir = os.path.join(wd, "clusters")
     shutil.rmtree(wd, ignore_errors=True)
     # untimed warm-up at 1/100 scale (same steady-state protocol as
@@ -101,8 +103,10 @@ def main() -> None:
                            partitioning="hive").count_rows() // 2
 
     t0 = time.perf_counter()
+    write_id_sidecar(os.path.join(sf, "documents.parquet"), ids_dir)
     connected_components_from_edge_partitions(
-        edges_dir, os.path.join(sf, "documents.parquet"), write_dir=clusters_dir
+        edges_dir, os.path.join(sf, "documents.parquet"),
+        write_dir=clusters_dir, ids_dir=ids_dir,
     )
     t_cc = time.perf_counter() - t0
     import ray.data as rd

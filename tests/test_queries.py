@@ -113,6 +113,49 @@ def test_embedding_neardup_dedup_to_parquet_driver_free(tmp_path):
     assert (got["group_id"].to_numpy() == q["group_id"].to_numpy()).all()
 
 
+def test_cc_id_sidecar_per_shard_reads_only(tmp_path):
+    """The shard-partitioned id sidecar: layout partitions ids by
+    ``id % P``, and the CC shards resolve their node partitions from it
+    WITHOUT ever opening the corpus parquet (proved by handing them a
+    nonexistent corpus path) — the O(P·N) full-column scans are gone."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from licenta_crawler_ray.pipelines.graph import (
+        connected_components_from_edge_partitions,
+        write_id_sidecar,
+        write_symmetric_edges,
+    )
+
+    P = 4
+    ids_dir = str(tmp_path / "ids")
+    edges_dir = str(tmp_path / "edges")
+    # a 3-chain + isolated nodes over ids 0..9
+    import ray.data as rd
+    pairs = rd.from_arrow(__import__("pyarrow").table(
+        {"doc_a": [0, 1, 5], "doc_b": [1, 2, 7]}))
+    write_symmetric_edges(pairs, "doc_a", "doc_b", edges_dir, num_shards=P)
+    write_id_sidecar(os.path.join(SF_DIR, "documents.parquet"), ids_dir,
+                     num_shards=P)
+    for s in range(P):
+        part = pads.dataset(os.path.join(ids_dir, f"shard={s}"),
+                            format="parquet").to_table()
+        got = part.column("doc_id").to_numpy()
+        assert (got % P == s).all() and len(got) > 0
+    out = connected_components_from_edge_partitions(
+        edges_dir, nodes="/nonexistent/corpus.parquet",
+        num_shards=P, ids_dir=ids_dir,
+    )
+    all_ids = pads.dataset(os.path.join(SF_DIR, "documents.parquet"),
+                           format="parquet").to_table(columns=["doc_id"])
+    exp_ids = np.sort(all_ids.column("doc_id").to_numpy())
+    assert (out["doc_id"].to_numpy() == exp_ids).all()
+    grp = dict(zip(out["doc_id"], out["group_id"]))
+    assert grp[0] == grp[1] == grp[2] == 0 and grp[5] == grp[7] == 5
+    assert grp[3] == 3 and grp[9] == 9  # isolated nodes are singletons
+
+
 def test_minhash_unbounded_vocab(tmp_path):
     """The verify join must work on corpora far beyond the old 512-word cap."""
     import numpy as np
