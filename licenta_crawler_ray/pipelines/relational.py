@@ -485,7 +485,8 @@ def events_sliding_window(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
+def order_window_shipments(sf_dir: str, days: int = 30,
+                           hot_bin_salt: int = 1) -> pd.DataFrame:
     """Range (interval) join with NO equality key — the third custom join
     the brief names alongside as-of and windowed, and the one a hash join
     cannot express: each order matched to EVERY lineitem whose
@@ -510,10 +511,17 @@ def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
     dropped (inner join) to keep the output hash-stable.
 
     Partitioning assumption: one bin's lineitems fit a worker (bin width
-    = W; widen ``days`` buckets or sub-split hot bins if a single window
-    of real data outgrows a worker — same knob family as
-    ``_USER_BUCKETS``)."""
+    = W). ``hot_bin_salt`` = S > 1 is the skew knob for when they don't
+    (a traffic spike putting one window-width bin on one worker): probe
+    rows scatter across S sub-bins of their bin by a row hash, build
+    rows replicate ×S (the same replicate-small-side trade as
+    ``joins.hash_join``'s salting), and the per-order partial rows —
+    now ≤ 2·S per order — still merge exactly in the final groupby
+    because the sub-bins partition each bin's items. Output is
+    salt-invariant (unit-tested with every item in one bin)."""
     W = np.int64(days) * 86_400_000_000  # window/bin width in microseconds
+    S = int(hot_bin_salt)
+    assert S >= 1
 
     def li_partial(t: pa.Table) -> pa.Table:
         ship = pc.cast(t["l_shipdate"], pa.int64())
@@ -524,7 +532,12 @@ def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
         # bin with FLOOR division (numpy //) to match od_partial — Arrow
         # pc.divide truncates toward zero, which disagrees on negative
         # (pre-1970) timestamps and would silently drop matches
-        bins = ship.to_numpy(zero_copy_only=False) // W
+        ship_np = ship.to_numpy(zero_copy_only=False)
+        bins = ship_np // W
+        if S > 1:  # scatter probe rows across S sub-bins by a row hash
+            h = (ship_np.astype(np.uint64) * np.uint64(2654435761)
+                 + cents.to_numpy(zero_copy_only=False).astype(np.uint64))
+            bins = bins * S + (h % np.uint64(S)).astype(np.int64)
         return pa.table({
             "bin": pa.array(bins, pa.int64()),
             "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
@@ -542,6 +555,11 @@ def order_window_shipments(sf_dir: str, days: int = 30) -> pd.DataFrame:
         starts = np.concatenate([start, start[two]])
         keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
         keys = np.concatenate([keys, keys[two]])
+        if S > 1:  # build rows replicate into every sub-bin of their bin
+            bins = np.repeat(bins * S, S) + np.tile(np.arange(S, dtype=np.int64),
+                                                    len(bins))
+            starts = np.repeat(starts, S)
+            keys = np.repeat(keys, S)
         n = len(bins)
         return pa.table({
             "bin": pa.array(bins, pa.int64()),

@@ -68,6 +68,51 @@ def test_query_matches_oracle(name, con, entry_mod):
     assert ok, msg
 
 
+def test_interval_join_hot_bin_salt(tmp_path):
+    """Hot-bin sub-split: with EVERY lineitem in a single window-width bin
+    (the all-data-in-one-window spike), salt S>1 engages — probe rows
+    scatter across sub-bins, orders replicate ×S — and the output is
+    byte-identical to the unsalted run and to a pandas reference."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from licenta_crawler_ray.pipelines.relational import order_window_shipments
+
+    rng = np.random.default_rng(7)
+    n_items, n_orders = 5000, 40
+    base = np.datetime64("1995-06-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    # all shipments inside ONE 30-day bin; orders start inside it too
+    ship = base + (rng.integers(0, 25, n_items) * day)
+    odate = base + (rng.integers(0, 25, n_orders) * day)
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(ship),
+        "l_extendedprice": pa.array(rng.uniform(10, 1000, n_items).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n_items).round(2)),
+    }), f"{tmp_path}/lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_orderdate": pa.array(odate),
+    }), f"{tmp_path}/orders.parquet")
+    d = str(tmp_path)
+    unsalted = order_window_shipments(d)
+    salted = order_window_shipments(d, hot_bin_salt=8)
+    pd.testing.assert_frame_equal(salted, unsalted)
+    # independent reference: brute-force window per order in integer cents
+    cents = np.floor(
+        pq.read_table(f"{tmp_path}/lineitem.parquet").to_pandas()
+        .eval("l_extendedprice * (1 - l_discount)").to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    ship_i = ship.astype(np.int64)
+    W = np.int64(30) * 86_400_000_000
+    for _, row in salted.iterrows():
+        m = (ship_i >= np.int64(odate[int(row.o_orderkey)].astype(np.int64))) & \
+            (ship_i < np.int64(odate[int(row.o_orderkey)].astype(np.int64)) + W)
+        assert row.n_items == int(m.sum())
+        assert row.revenue == round(int(cents[m].sum()) / 100.0, 2)
+
+
 def test_minhash_recall_vs_exact(entry_mod):
     from licenta_crawler_ray.pipelines.textops import minhash_lsh_pairs, ngram_jaccard_pairs
 
@@ -319,16 +364,69 @@ def test_partitioned_sink_resume(tmp_path):
 
 
 def test_multimodal_real_format_raises():
-    from licenta_crawler_ray.stages.multimodal import ImageDecode
+    """Formats that STILL need a library raise: PNG images, non-PCM WAV,
+    compressed BMP, and all real video (BMP/PCM-WAV decode for real now)."""
+    import struct
 
     import pyarrow as pa
 
-    batch = pa.Table.from_pylist(
-        [{"media_id": 0, "media_type": "image", "payload": b"\x89PNG\r\n\x1a\n....",
-          "meta": "{}"}],
+    from licenta_crawler_ray.stages.multimodal import (
+        AudioFrameSample, ImageDecode, VideoFrameSample,
     )
+
+    def img(payload):
+        return pa.Table.from_pylist([{"media_id": 0, "media_type": "image",
+                                      "payload": payload, "meta": "{}"}])
+
     with pytest.raises(NotImplementedError):
-        ImageDecode()(batch)
+        ImageDecode()(img(b"\x89PNG\r\n\x1a\n...."))
+    # BMP with RLE8 compression (biCompression=1) is not decodable stdlib-only
+    hdr = (b"BM" + struct.pack("<IHHI", 200, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 64, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        ImageDecode()(img(hdr + b"\x00" * 146))
+    # IEEE-float WAV (format 3) is non-PCM
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    aud = pa.Table.from_pylist([{"media_id": 0, "media_type": "audio",
+                                 "payload": wav, "meta": "{}"}])
+    with pytest.raises(NotImplementedError):
+        AudioFrameSample()(aud)
+    vid = pa.Table.from_pylist([{"media_id": 0, "media_type": "video",
+                                 "payload": b"\x00\x00\x00\x18ftypmp42",
+                                 "meta": "{}"}])
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample()(vid)
+
+
+def test_multimodal_bmp_wav_real_decode():
+    """Stdlib-encoded BMP/WAV round-trip through the real decode paths
+    with exact pixel/sample counts (incl. BMP row padding: w=5)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from licenta_crawler_ray.stages.multimodal import (
+        AudioFrameSample, ImageDecode, encode_bmp, encode_wav,
+    )
+
+    px = np.arange(35, dtype=np.uint8).reshape(7, 5)  # stride 16 > 15: padded
+    batch = pa.Table.from_pylist([{"media_id": 1, "media_type": "image",
+                                   "payload": encode_bmp(px), "meta": "{}"}])
+    out = ImageDecode()(batch)
+    assert out.column("width")[0].as_py() == 5
+    assert out.column("height")[0].as_py() == 7
+    assert out.column("mean_pixel")[0].as_py() == round(float(px.mean()), 4)
+
+    samples = (np.sin(np.arange(1000) / 10.0) * 20000).astype(np.int16)
+    wav = pa.Table.from_pylist([{"media_id": 2, "media_type": "audio",
+                                 "payload": encode_wav(samples, 8000),
+                                 "meta": "{}"}])
+    aout = AudioFrameSample(stride=100)(wav)
+    assert aout.column("n_frames")[0].as_py() == 1000
+    got = np.frombuffer(aout.column("sampled_frames")[0].as_py(), dtype="<i2")
+    assert (got == samples[::100]).all()
 
 
 # ---------------------------------------------------------------------------
