@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": sk.reservoir_sample,            # SQL-checked (priority top-k)
         "stratified_sample": sk.stratified_sample,          # SQL-checked (per-stratum rates)
         "value_quantiles": sk.value_quantiles,              # histogram sketch; rows-only
+        "value_quantiles_exact": sk.value_quantiles_exact,  # SQL-checked (exact, cents)
     }
 
 
@@ -387,5 +388,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) & 4294967295 <
                   CASE WHEN lang = 'en' THEN 858993459 ELSE 214748364 END
             ORDER BY doc_id
+        """,
+        "value_quantiles_exact": """
+            WITH t AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+                       FROM events)
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q,
+                   unnest([quantile_disc(c, 0.25), quantile_disc(c, 0.5),
+                           quantile_disc(c, 0.75), quantile_disc(c, 0.9),
+                           quantile_disc(c, 0.99)]) AS value_cents
+            FROM t ORDER BY q
         """,
     }

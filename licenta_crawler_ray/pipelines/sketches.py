@@ -392,6 +392,42 @@ def value_quantiles(sf_dir: str, bins: int = 4096) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["q", "value_est"])
 
 
+def value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT quantiles of ``events.value`` on a bounded-cardinality
+    projection (integer cents, ``floor(value·100 + 0.5)``) — the
+    SQL-checked anchor for the histogram sketch (:func:`value_quantiles`):
+    same distributed value-count-histogram shape as
+    :func:`token_quantiles`, the shuffle carries one row per (batch,
+    distinct cent value). Convention matches DuckDB ``quantile_disc``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100
+                     + 0.5).astype(np.int64)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table({"value_cents": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    hist = (
+        _pq(sf_dir, "events", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("value_cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "value_cents": pd.Series([], dtype="int64")})
+    hist = hist.sort_values("value_cents")
+    vals = hist["value_cents"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    out = []
+    for q in QUANTILES:
+        rank = int(np.ceil(q * total))  # 1-based quantile_disc index
+        out.append((q, int(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(out, columns=["q", "value_cents"])
+
+
 STRATA_RATES = {"en": 0.2}          # per-stratum sampling rates...
 STRATA_DEFAULT_RATE = 0.05          # ...and the rate for every other lang
 

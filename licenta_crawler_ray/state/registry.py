@@ -23,6 +23,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import threading
 import time
 
 
@@ -34,32 +35,19 @@ class JobActiveOnHost(JobActiveError):
     """A host already has an active job (``CrawlJobResource.java:86-90``)."""
 
 
-class JobRegistry:
-    """File-backed registry of crawl jobs keyed by job id."""
+class JobRegistryBase:
+    """Admission semantics over ONE abstract primitive.
 
-    def __init__(self, path: str):
-        self.path = path
-        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    Subclasses provide ``_locked(mutate)`` — execute ``mutate(data)``
+    atomically against the backing store's job dict and persist the
+    result — and inherit the full 409 semantics unchanged. This is the
+    cluster seam COVERAGE.md documents: the single-node file/fcntl
+    backend and a linearizable-KV backend differ ONLY in this primitive
+    (verified by running the same admission test suite against both).
+    """
 
-    # -- locked read-modify-write ------------------------------------------
     def _locked(self, mutate):
-        lock_path = self.path + ".lock"
-        with open(lock_path, "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            try:
-                try:
-                    with open(self.path) as f:
-                        data = json.load(f)
-                except (FileNotFoundError, json.JSONDecodeError):
-                    data = {}
-                out = mutate(data)
-                tmp = self.path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(data, f, indent=1)
-                os.replace(tmp, self.path)
-                return out
-            finally:
-                fcntl.flock(lf, fcntl.LOCK_UN)
+        raise NotImplementedError
 
     @staticmethod
     def _alive(pid: int) -> bool:
@@ -140,3 +128,61 @@ class JobRegistry:
             return dict(data)
 
         return self._locked(mutate)
+
+
+class JobRegistry(JobRegistryBase):
+    """File-backed registry (single-node backend): a JSON file guarded by
+    an ``fcntl`` advisory lock; one atomic read-modify-write per call."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+
+    def _locked(self, mutate):
+        lock_path = self.path + ".lock"
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                try:
+                    with open(self.path) as f:
+                        data = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    data = {}
+                out = mutate(data)
+                tmp = self.path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(data, f, indent=1)
+                os.replace(tmp, self.path)
+                return out
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+
+class LocalKVStore:
+    """In-process reference implementation of the linearizable-store
+    interface ``KVJobRegistry`` expects: ``transact(fn)`` runs ``fn``
+    against the job dict under mutual exclusion and persists its effect.
+    A real deployment backs this with etcd/Redis/DynamoDB-style
+    conditional writes (read revision → mutate → compare-and-set, retry
+    on conflict); the registry semantics above never change."""
+
+    def __init__(self):
+        self._data: dict = {}
+        self._lock = threading.Lock()
+
+    def transact(self, fn):
+        with self._lock:
+            return fn(self._data)
+
+
+class KVJobRegistry(JobRegistryBase):
+    """Registry over a linearizable key-value store — the multi-node
+    backend shape (COVERAGE.md second-node table). Same 409 semantics as
+    the file backend, inherited from :class:`JobRegistryBase`; only the
+    transaction primitive differs."""
+
+    def __init__(self, store):
+        self.store = store
+
+    def _locked(self, mutate):
+        return self.store.transact(mutate)

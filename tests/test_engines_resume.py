@@ -79,6 +79,40 @@ def test_enriched_engines_match(tiny_fixture, tmp_path, fetch_leaves):
     assert a.to_pylist() == b.to_pylist()
 
 
+def test_bucket_engine_workdir_on_second_filesystem(tiny_fixture, tmp_path):
+    """Cluster-seam smoke (COVERAGE.md second-node table): the checkpoint
+    workdir lives on a DIFFERENT filesystem mount (/dev/shm tmpfs) than
+    the fixture corpus, proving the commit path (worker-side part writes,
+    atomic tmp→rename, resume scan) never assumes fixture and workdir
+    share a device — the shared-FS swap is a mount point, not a rewrite."""
+    import os
+    import shutil
+    import uuid
+
+    if os.stat("/dev/shm").st_dev == os.stat(tiny_fixture).st_dev:
+        pytest.skip("no second filesystem mount available")
+    wd = f"/dev/shm/lcr_seam_{uuid.uuid4().hex[:8]}"
+    try:
+        p1 = CrawlPipeline(tiny_fixture, wd, fetch_leaves=True, engine="bucket")
+        p1.run()
+        full = p1.visited_table()
+        p1.close()
+        # kill one committed bucket partition and resume across the mount
+        victims = sorted(d for d in os.listdir(wd) if d.startswith("bucket-"))[:1]
+        for v in victims:
+            shutil.rmtree(os.path.join(wd, v))
+        p2 = CrawlPipeline(tiny_fixture, wd, fetch_leaves=True, engine="bucket")
+        s = p2.run(resume=True)
+        got = p2.visited_table()
+        p2.close()
+        assert s["buckets"] == len(victims)
+        assert got.to_pylist() == full.to_pylist()
+        exp = crawl_oracle(tiny_fixture, fetch_leaves=True).sorted_visited()
+        assert got.num_rows == len(exp)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def test_bucket_engine_resume_skips_committed(small_fixture, tmp_path):
     import shutil
     import os

@@ -11,14 +11,22 @@ from licenta_crawler_ray.state.registry import (
     JobActiveError,
     JobActiveOnHost,
     JobRegistry,
+    KVJobRegistry,
+    LocalKVStore,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture()
-def registry(tmp_path):
-    return JobRegistry(str(tmp_path / "reg.json"))
+@pytest.fixture(params=["file", "kv"])
+def registry(tmp_path, request):
+    """Both backends run the SAME admission suite — the cluster-seam
+    proof that swapping the fcntl file for a linearizable KV store (the
+    COVERAGE.md second-node checklist item) changes only the transaction
+    primitive, not the 409 semantics."""
+    if request.param == "file":
+        return JobRegistry(str(tmp_path / "reg.json"))
+    return KVJobRegistry(LocalKVStore())
 
 
 class TestRegistry:
@@ -45,11 +53,17 @@ class TestRegistry:
     def test_dead_pid_reaped(self, registry, tmp_path):
         registry.acquire("job1", ["a.com"], str(tmp_path / "w1"))
         # forge a dead owner: rewrite the entry with an impossible pid
-        with open(registry.path) as f:
-            data = json.load(f)
-        data["job1"]["pid"] = 2**22 + 12345  # beyond pid_max on this box
-        with open(registry.path, "w") as f:
-            json.dump(data, f)
+        def forge(data):
+            data["job1"]["pid"] = 2**22 + 12345  # beyond pid_max on this box
+
+        if isinstance(registry, JobRegistry):
+            with open(registry.path) as f:
+                data = json.load(f)
+            forge(data)
+            with open(registry.path, "w") as f:
+                json.dump(data, f)
+        else:
+            registry.store.transact(lambda d: forge(d))
         registry.acquire("job2", ["a.com"], str(tmp_path / "w2"))  # no raise
         assert registry.get("job1")["status"] == "crashed"
 
