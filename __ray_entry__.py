@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": rel.events_asof_orders,  # as-of join (SQL-checked)
         "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window (SQL-checked)
         "order_window_shipments": rel.order_window_shipments,  # interval/band join, no equality key (SQL-checked)
+        "inactive_customers": rel.inactive_customers,  # partitioned anti join (SQL-checked)
+        "user_value_median": rel.user_value_median,  # per-key exact quantile (SQL-checked)
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
@@ -68,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,            # rows-only
         "neardup_dedup": tx.neardup_dedup,                  # SQL-checked (recursive CC)
         "neardup_dedup_minhash": tx.neardup_dedup_minhash,  # approx; rows-only
+        "neardup_admit_incremental": tx.neardup_admit_incremental,  # new-batch-vs-index dedup; rows-only
         # --- corpus statistics & curation
         "token_hist": tx.token_hist,                        # SQL-checked
         "top_terms_per_lang": tx.top_terms_per_lang,        # SQL-checked
@@ -388,6 +391,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) & 4294967295 <
                   CASE WHEN lang = 'en' THEN 858993459 ELSE 214748364 END
             ORDER BY doc_id
+        """,
+        "inactive_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            ORDER BY c_custkey
+        """,
+        "user_value_median": """
+            SELECT user_id, quantile_disc(value, 0.5) AS median_value
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "value_quantiles_exact": """
             WITH t AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c

@@ -485,6 +485,100 @@ def events_sliding_window(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+INACTIVE_CUTOFF = "2000-01-01"  # frozen spec, shared with the SQL oracle
+
+
+def inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """Anti join (``NOT IN`` / ``NOT EXISTS``): customers with no order
+    since :data:`INACTIVE_CUTOFF` — the join flavor the inner hash join
+    can't express.
+
+    Scale shape (partitioned hash anti-join): the orders side prunes at
+    the READ (row-group filter on the cutoff) and pre-distincts its
+    custkeys per batch (the combiner — ships distinct keys only), both
+    streams co-partition ONCE on a coarse custkey hash bucket, and the
+    anti filter is one vectorized ``isin`` per bucket. Neither side
+    broadcasts; skewed customers stay inside one bucket."""
+    cut = pa.scalar(pd.Timestamp(INACTIVE_CUTOFF), type=pa.timestamp("us"))
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "key": t["c_custkey"],
+                "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
+                "c_name": t["c_name"],
+            }),
+            batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+        )
+
+    def ods_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["o_custkey"])
+        return pa.table({
+            "key": u,
+            "kind": pa.nulls(len(u), pa.int8()).fill_null(0),
+            "c_name": pa.nulls(len(u), pa.string()),
+        })
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= cut,
+    ).map_batches(ods_partial, batch_format="pyarrow",
+                  batch_size=_PARTIAL_BATCH)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["kind"] == 0, "key"].to_numpy()
+        c = g.loc[g["kind"] == 1]
+        keep = ~c["key"].isin(have)
+        return pd.DataFrame({
+            "c_custkey": c.loc[keep, "key"].astype("int64"),
+            "c_name": c.loc[keep, "c_name"],
+        })
+
+    out = (
+        cust.union(ords)
+        .map_batches(lambda t: _tag_bucket(t, "key"), batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # an all-empty grouped result arrives column-less
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def user_value_median(sf_dir: str) -> pd.DataFrame:
+    """Per-KEY exact discrete quantile (``quantile_disc(value, 0.5)`` per
+    user) — the grouped sibling of the global ``token_quantiles``.
+
+    Same coarse-bucket co-partition as the other per-user ops; inside a
+    bucket ONE sort by (user, value) and a vectorized per-group pick at
+    1-based index ``ceil(n/2)`` (first-offset + ceil arithmetic — no
+    per-user Python). The reported median is an element OF the data, so
+    the float compares bit-exact against the SQL oracle."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value"], kind="mergesort")
+        uid, first = np.unique(g["user_id"].to_numpy(), return_index=True)
+        counts = np.diff(np.append(first, len(g)))
+        pick = first + np.ceil(counts * 0.5).astype(np.int64) - 1
+        return pd.DataFrame({
+            "user_id": uid.astype(np.int64),
+            "median_value": g["value"].to_numpy()[pick],
+        })
+
+    out = (
+        _pq(sf_dir, "events", columns=["user_id", "value"])
+        .map_batches(_bucket_users, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def order_window_shipments(sf_dir: str, days: int = 30,
                            hot_bin_salt: int = 1) -> pd.DataFrame:
     """Range (interval) join with NO equality key — the third custom join

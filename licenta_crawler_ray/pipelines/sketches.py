@@ -110,19 +110,31 @@ def heavy_tokens(sf_dir: str, min_share: float = 0.03) -> pd.DataFrame:
 
     Tokenization + counting stay Arrow-native (shared byte-split kernel →
     ``pc.value_counts``): the round-3 verdict measured the former Python
-    token-list explode as this operator's per-batch floor."""
+    token-list explode as this operator's per-batch floor. The merge is a
+    coarse FNV-bucket co-partition with a vectorized pandas groupby per
+    bucket — Ray's direct string-key aggregate over the same 2M partial
+    rows measured 31 s at 1M docs vs ~3 s for 256 int-keyed groups (the
+    same lesson as ``distinct_order_count``)."""
+    from ..functions.urls import hash_strings
 
     def partial(t: pa.Table) -> pa.Table:
         toks, _ = tokens_arrow(t["text"])
         vc = pc.value_counts(toks)
-        return pa.table({"word": vc.field("values").cast(pa.string()),
-                         "n": vc.field("counts")})
+        words = vc.field("values").cast(pa.string())
+        bucket = (hash_strings(words) % 256).astype(np.int32)
+        return pa.table({"word": words, "n": vc.field("counts"),
+                         "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("word", sort=False)["n"].sum()
+        return pd.DataFrame({"word": m.index.to_numpy(),
+                             "n": m.to_numpy()})
 
     counts = (
         _docs(sf_dir, columns=["text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     if counts.empty:

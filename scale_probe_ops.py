@@ -40,14 +40,17 @@ COMMON_VOCAB = 1000     # Zipf-ish head: high df, filtered by the term gate
 RARE_VOCAB = 100_000    # tail: low df, survives the gate
 COMMON_PER_DOC = 38
 RARE_PER_DOC = 2
-N_ORDERS = max(1, N_DOCS // 4)
+N_ITEMS = 8 * N_DOCS      # interval-join probe side (the op is much
+N_ORDERS = 2 * N_DOCS     # cheaper per row than the text ops — larger
+                          # input amortizes fixed session cost)
 
 
 def build_corpus() -> str:
     os.makedirs(PROBE_DIR, exist_ok=True)
     meta = os.path.join(PROBE_DIR, "probe_meta.json")
     want = {"n": N_DOCS, "common": COMMON_VOCAB, "rare": RARE_VOCAB,
-            "cpd": COMMON_PER_DOC, "rpd": RARE_PER_DOC, "orders": N_ORDERS}
+            "cpd": COMMON_PER_DOC, "rpd": RARE_PER_DOC,
+            "items": N_ITEMS, "orders": N_ORDERS}
     if os.path.exists(meta) and json.load(open(meta)) == want:
         return PROBE_DIR
     rng = np.random.default_rng(20260817)
@@ -74,14 +77,14 @@ def build_corpus() -> str:
             writer = pq.ParquetWriter(docs_path, t.schema)
         writer.write_table(t, row_group_size=8192)
     writer.close()
-    # interval-join tables: ~10^10 logical (order, item) pairs at 1M items
+    # interval-join tables: ~10^11 logical (order, item) pairs at 8M items
     base = np.datetime64("1995-01-01", "us").astype(np.int64)
     span_us = np.int64(730) * 86_400_000_000
-    ship = base + rng.integers(0, span_us, size=N_DOCS)
+    ship = base + rng.integers(0, span_us, size=N_ITEMS)
     pq.write_table(pa.table({
         "l_shipdate": pa.array(ship.astype("datetime64[us]")),
-        "l_extendedprice": pa.array(rng.uniform(10, 1000, N_DOCS).round(2)),
-        "l_discount": pa.array(rng.uniform(0, 0.1, N_DOCS).round(2)),
+        "l_extendedprice": pa.array(rng.uniform(10, 1000, N_ITEMS).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, N_ITEMS).round(2)),
     }), os.path.join(PROBE_DIR, "lineitem.parquet"), row_group_size=65536)
     odate = base + rng.integers(0, span_us, size=N_ORDERS)
     pq.write_table(pa.table({
@@ -127,28 +130,39 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    import shutil
+
     from licenta_crawler_ray.pipelines.relational import order_window_shipments
     from licenta_crawler_ray.pipelines.sketches import (
         heavy_tokens, heavy_tokens_sketch,
     )
-    from licenta_crawler_ray.pipelines.textops import distinctive_terms
+    from licenta_crawler_ray.pipelines.textops import distinctive_terms_to_parquet
 
     sf = build_corpus()
     warm = "/root/testdata/sf0.001"
     out: dict = {"cpus": num_cpus}
+
+    def dt_sink(d):
+        # the scale form: worker-side parquet sink — the driver-DataFrame
+        # query form spends its wall time in a 9M-row to_pandas at this
+        # scale, which measures the driver, not the engine
+        o = os.path.join(PROBE_DIR, f"dt_out_{num_cpus}")
+        shutil.rmtree(o, ignore_errors=True)
+        return distinctive_terms_to_parquet(d, o)["rows"]
+
     ops = [
-        ("heavy_tokens", lambda d: heavy_tokens(d)),
-        ("heavy_tokens_sketch", lambda d: heavy_tokens_sketch(d)),
-        ("distinctive_terms", lambda d: distinctive_terms(d)),
-        ("order_window_shipments", lambda d: order_window_shipments(d)),
+        ("heavy_tokens", lambda d: len(heavy_tokens(d))),
+        ("heavy_tokens_sketch", lambda d: len(heavy_tokens_sketch(d))),
+        ("distinctive_terms_to_parquet", dt_sink),
+        ("order_window_shipments", lambda d: len(order_window_shipments(d))),
     ]
     for name, fn in ops:
         fn(warm)  # untimed session/path warm-up at 1/1000 scale
         os.sync()
         t0 = time.perf_counter()
-        res = fn(sf)
+        rows = fn(sf)
         out[name] = {"sec": round(time.perf_counter() - t0, 2),
-                     "rows": int(len(res))}
+                     "rows": int(rows)}
     if with_ab:
         # tokenizer A/B on identical input, same session (hi level only)
         heavy_tokens_pylist(warm)
@@ -177,9 +191,9 @@ def main() -> None:
         out = subprocess.run(args, capture_output=True, text=True,
                              check=True).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
-    summary = {"docs": N_DOCS, "orders": N_ORDERS, "ops": {}}
-    for name in ("heavy_tokens", "heavy_tokens_sketch", "distinctive_terms",
-                 "order_window_shipments"):
+    summary = {"docs": N_DOCS, "items": N_ITEMS, "orders": N_ORDERS, "ops": {}}
+    for name in ("heavy_tokens", "heavy_tokens_sketch",
+                 "distinctive_terms_to_parquet", "order_window_shipments"):
         t4 = results[4][name]["sec"]
         t16 = results[16][name]["sec"]
         assert results[4][name]["rows"] == results[16][name]["rows"]

@@ -38,6 +38,7 @@ SQL_CHECKED = [
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
     "events_asof_orders", "events_sliding_window", "order_window_shipments",
+    "inactive_customers", "user_value_median",
     "token_quantiles", "value_quantiles_exact",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
     "reservoir_sample", "stratified_sample",
@@ -299,6 +300,50 @@ def test_multimodal_plumbing():
     )
     assert len(vid) == 6 and (vid["n_frames"] > 0).all()
     assert all(len(m) >= 1 for m in vid["sampled_frame_means"])
+
+
+def test_incremental_dedup_matches_full_run(tmp_path):
+    """Incremental dedup (new batch vs persisted band index) must agree
+    with the from-scratch full-corpus pipeline: identical new-involving
+    verified pairs, and identical keep/drop decisions for every new doc
+    (keep ⇔ the doc is its own component min in the full clustering —
+    holds even when the 'historical' 80% still contains internal dups,
+    because an all-new component can never be reached by old-old edges)."""
+    import numpy as np
+
+    from licenta_crawler_ray.pipelines.textops import (
+        minhash_lsh_pairs, minhash_lsh_pairs_incremental,
+        neardup_admit_incremental, neardup_dedup_minhash,
+    )
+
+    full_pairs = minhash_lsh_pairs(SF_DIR)
+    full_groups = neardup_dedup_minhash(SF_DIR)
+    adm = neardup_admit_incremental(SF_DIR)
+    new_ids = set(adm["doc_id"].tolist())
+    assert len(new_ids) > 0
+    # pair equality on the new-involving subset (same scratch key the
+    # wrapper derives)
+    import hashlib
+
+    import pyarrow.dataset as pads
+    ids = pads.dataset(os.path.join(SF_DIR, "documents.parquet"),
+                       format="parquet").to_table(columns=["doc_id"]) \
+        .column("doc_id").to_numpy()
+    cut = np.sort(ids)[int(len(ids) * 0.8)]
+    key = hashlib.sha1(
+        f"{os.path.abspath(SF_DIR)}:{len(ids)}:{cut}".encode()).hexdigest()[:12]
+    inc_dir = f"/tmp/lcr_incr_{key}"
+    pairs_inc = minhash_lsh_pairs_incremental(
+        f"{inc_dir}/corpus", f"{inc_dir}/new", f"{inc_dir}/index")
+    mask = full_pairs["doc_a"].isin(new_ids) | full_pairs["doc_b"].isin(new_ids)
+    exp = full_pairs[mask].reset_index(drop=True)
+    pd.testing.assert_frame_equal(pairs_inc, exp)
+    # keep/drop equality vs the full clustering
+    g = dict(zip(full_groups["doc_id"], full_groups["group_id"]))
+    for _, row in adm.iterrows():
+        assert row["keep"] == (g[row["doc_id"]] == row["doc_id"]), row.to_dict()
+        if not row["keep"]:
+            assert row["dup_of"] != row["doc_id"] and row["dup_of"] >= 0
 
 
 def test_neardup_pairs_streaming_sink(tmp_path):
