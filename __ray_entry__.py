@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window (SQL-checked)
         "order_window_shipments": rel.order_window_shipments,  # interval/band join, no equality key (SQL-checked)
         "inactive_customers": rel.inactive_customers,  # partitioned anti join (SQL-checked)
+        "returned_orders": rel.returned_orders,  # Bloom-pruned semi join (SQL-checked)
         "user_value_median": rel.user_value_median,  # per-key exact quantile (SQL-checked)
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
@@ -398,6 +399,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
             ORDER BY c_custkey
+        """,
+        "returned_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            ORDER BY o_orderkey
         """,
         "user_value_median": """
             SELECT user_id, quantile_disc(value, 0.5) AS median_value

@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "embedding_neardup_dedup",
     "embedding_knn_ivf",
     "events_asof_orders", "events_sliding_window", "order_window_shipments",
-    "inactive_customers", "user_value_median",
+    "inactive_customers", "returned_orders", "user_value_median",
     "embedding_kmeans",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",

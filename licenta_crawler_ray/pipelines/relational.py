@@ -548,6 +548,150 @@ def inactive_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+# Bloom sizing for the semi join's pruning filter. At sf0.1 the build side
+# has ~1e5 distinct keys → fill ≈ n·k/m ≈ 0.07, FP ≈ fill^k ≈ 0.03%; at
+# corpus scale m grows with the build-side estimate. The filter is a
+# pruning ACCELERATOR only — exactness comes from the co-partitioned
+# verify below, so an undersized filter costs shuffle volume, not answers.
+_BLOOM_BITS = 1 << 22
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """``(k, n)`` bit positions per key via double hashing
+    (Kirsch–Mitzenmacher ``g_i = h1 + i·h2 mod m``; two SplitMix64
+    streams — same public mix the HLL sketch uses)."""
+    from .sketches import _splitmix64
+
+    k = keys.astype(np.uint64)
+    h1 = _splitmix64(k)
+    h2 = _splitmix64(k ^ np.uint64(0xA5A5A5A5DEADBEEF))
+    i = np.arange(_BLOOM_HASHES, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(_BLOOM_BITS)
+
+
+def returned_orders(sf_dir: str) -> pd.DataFrame:
+    """Semi join (``IN`` / ``EXISTS``): orders with at least one returned
+    lineitem — the third join flavor next to the inner hash join and the
+    anti join, with a DISTRIBUTED Bloom-filter build as the pruning step.
+
+    Scale shape: the build side (returned lineitems) pre-distincts per
+    batch and emits nonzero Bloom WORDS only (≤ m/64 tiny rows/batch);
+    words OR-merge inside ≤64 coarse buckets, the driver assembles the
+    m-bit filter (512 KiB — constant, never corpus-sized) and broadcasts
+    it via ``ray.put``. The probe side (orders) drops Bloom misses inside
+    ``map_batches`` BEFORE the shuffle — at realistic selectivity the
+    all-to-all moves only matching rows + the FP trickle. Survivors then
+    co-partition ONCE with the build-side distinct keys on a coarse key
+    bucket and a vectorized ``isin`` keeps true matches, so the output is
+    EXACT regardless of filter sizing. The build side is streamed twice
+    (filter build + verify keys) — both passes are column-pruned,
+    filter-at-read scans, each smaller than shuffling unpruned orders."""
+    build = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["l_orderkey"]).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(u).reshape(-1)
+        words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        idx = np.flatnonzero(words)
+        return pa.table({
+            "idx": pa.array(idx.astype(np.int32)),
+            "word": pa.array(words[idx].view(np.int64)),
+            "bbucket": pa.array((idx & 63).astype(np.int32)),
+        })
+
+    def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g["idx"].to_numpy()
+        order = np.argsort(idx, kind="stable")
+        idx = idx[order]
+        w = g["word"].to_numpy()[order].view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        return pd.DataFrame({
+            "idx": idx[starts],
+            "word": np.bitwise_or.reduceat(w, starts).view(np.int64),
+        })
+
+    words = (
+        build.map_batches(bloom_partial, batch_format="pyarrow",
+                          batch_size=_PARTIAL_BATCH)
+        .groupby("bbucket")
+        .map_groups(or_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    bloom = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    if len(words):
+        bloom[words["idx"].to_numpy()] = words["word"].to_numpy().view(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    class Prune:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys)
+            hit = np.ones(len(keys), dtype=bool)
+            for r in range(_BLOOM_HASHES):
+                p = pos[r]
+                hit &= (self.bloom[(p >> np.uint64(6)).astype(np.int64)]
+                        >> (p & np.uint64(63))) & np.uint64(1) != 0
+            t = t.filter(pa.array(hit))
+            return pa.table({
+                "key": t["o_orderkey"],
+                "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
+                "o_custkey": t["o_custkey"],
+                "o_totalprice": t["o_totalprice"],
+            })
+
+    def build_keys(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["l_orderkey"])
+        return pa.table({
+            "key": u,
+            "kind": pa.nulls(len(u), pa.int8()).fill_null(0),
+            "o_custkey": pa.nulls(len(u), pa.int64()),
+            "o_totalprice": pa.nulls(len(u), pa.float64()),
+        })
+
+    survivors = _pq(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(Prune, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH, concurrency=(1, 4))
+    keys = build.map_batches(build_keys, batch_format="pyarrow",
+                             batch_size=_PARTIAL_BATCH)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["kind"] == 0, "key"].to_numpy()
+        o = g.loc[g["kind"] == 1]
+        keep = o["key"].isin(have)
+        return pd.DataFrame({
+            "o_orderkey": o.loc[keep, "key"].astype("int64"),
+            "o_custkey": o.loc[keep, "o_custkey"].astype("int64"),
+            "o_totalprice": o.loc[keep, "o_totalprice"].astype("float64"),
+        })
+
+    out = (
+        survivors.union(keys)
+        .map_batches(lambda t: _tag_bucket(t, "key"), batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # an all-empty grouped result arrives column-less
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+        })
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def user_value_median(sf_dir: str) -> pd.DataFrame:
     """Per-KEY exact discrete quantile (``quantile_disc(value, 0.5)`` per
     user) — the grouped sibling of the global ``token_quantiles``.

@@ -38,7 +38,7 @@ SQL_CHECKED = [
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
     "events_asof_orders", "events_sliding_window", "order_window_shipments",
-    "inactive_customers", "user_value_median",
+    "inactive_customers", "returned_orders", "user_value_median",
     "token_quantiles", "value_quantiles_exact",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
     "reservoir_sample", "stratified_sample",

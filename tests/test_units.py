@@ -451,3 +451,49 @@ class TestProperties:
             assert "\n\n" not in out1
 
         check()
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives(self):
+        """Every inserted key must pass the membership test (prune can never
+        drop a true match — the exact verify only sees Bloom survivors)."""
+        from licenta_crawler_ray.pipelines.relational import (
+            _BLOOM_BITS, _BLOOM_HASHES, _bloom_positions,
+        )
+
+        rng = np.random.default_rng(11)
+        keys = rng.integers(1, 2**62, size=50_000, dtype=np.int64)
+        pos = _bloom_positions(keys).reshape(-1)
+        words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        p = _bloom_positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for r in range(_BLOOM_HASHES):
+            q = p[r]
+            hit &= (words[(q >> np.uint64(6)).astype(np.int64)]
+                    >> (q & np.uint64(63))) & np.uint64(1) != 0
+        assert hit.all()
+
+    def test_prune_rate_on_non_members(self):
+        """Fresh keys are pruned at ~(1 - fill^k): with 50k keys in 2^22
+        bits the FP rate is well under 1% — the shuffle sees only the
+        matching rows plus that trickle."""
+        from licenta_crawler_ray.pipelines.relational import (
+            _BLOOM_BITS, _BLOOM_HASHES, _bloom_positions,
+        )
+
+        rng = np.random.default_rng(12)
+        keys = rng.integers(1, 2**62, size=50_000, dtype=np.int64)
+        pos = _bloom_positions(keys).reshape(-1)
+        words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        fresh = rng.integers(2**62, 2**63, size=100_000, dtype=np.int64)
+        p = _bloom_positions(fresh)
+        hit = np.ones(len(fresh), dtype=bool)
+        for r in range(_BLOOM_HASHES):
+            q = p[r]
+            hit &= (words[(q >> np.uint64(6)).astype(np.int64)]
+                    >> (q & np.uint64(63))) & np.uint64(1) != 0
+        assert hit.mean() < 0.01
