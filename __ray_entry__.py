@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": tx.quality_scores,
         # --- dedup family
         "exact_dedup": tx.exact_dedup,                      # SQL-checked
+        "normalized_dedup": tx.normalized_dedup,            # SQL-checked (fuzzy-exact gate)
+        "ngram_contamination": tx.ngram_contamination,      # SQL-checked (repeated n-gram signal)
         "ngram_jaccard_pairs": tx.ngram_jaccard_pairs,      # SQL-checked (exact)
         "minhash_lsh_pairs": tx.minhash_lsh_pairs,          # approx; rows-only
         "simhash_pairs": tx.simhash_pairs,                  # approx; rows-only
@@ -399,6 +401,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
             ORDER BY c_custkey
+        """,
+        "normalized_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                     '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))
+            ORDER BY doc_id
+        """,
+        "ngram_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+              WHERE len(w) >= 5
+            ), df AS (
+              SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+            )
+            SELECT grams.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS shared_grams
+            FROM grams JOIN df USING (g)
+            GROUP BY grams.doc_id ORDER BY grams.doc_id
         """,
         "returned_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

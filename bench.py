@@ -32,7 +32,8 @@ QUERY_NAMES = [
     "user_sessions", "top_events_per_user", "priority_revenue",
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "exact_dedup", "normalized_dedup", "ngram_contamination",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "doc_fingerprints", "neardup_dedup_minhash",
     "token_hist", "top_terms_per_lang", "distinctive_terms",
     "quality_filter", "corpus_split",

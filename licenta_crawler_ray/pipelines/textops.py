@@ -245,6 +245,41 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def normalized_dedup(sf_dir: str) -> pd.DataFrame:
+    """Keeper doc_ids after NORMALIZED exact dedup — the "fuzzy-exact"
+    gate real webtext pipelines run before any near-dup pass (catches
+    case / punctuation / whitespace variants of the same page).
+
+    Normalization (frozen, mirrored verbatim in the SQL oracle):
+    lowercase → strip non-word/non-space chars → collapse whitespace runs
+    → trim. All four steps are Arrow compute kernels (RE2 — the same
+    regex engine DuckDB uses, so the two sides agree byte-for-byte); the
+    text never becomes Python objects. Same shuffle shape as
+    :func:`exact_dedup`: one (hash, min doc_id) row per (batch, distinct
+    normalized text) through the groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column("text"))
+        x = pc.replace_substring_regex(x, pattern=r"[^\w\s]", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        h = hash_strings(x).view(np.int64)
+        tt = pa.table({"norm_hash": pa.array(h), "doc_id": t.column("doc_id")})
+        g = tt.group_by("norm_hash").aggregate([("doc_id", "min")])
+        return g.rename_columns(["norm_hash", "doc_id"])
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("norm_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    return (
+        out[["doc_id"]].astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-doc token-hash sets (shared by all near-dup verification paths)
 # ---------------------------------------------------------------------------
@@ -1694,4 +1729,120 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         .map_batches(cached_stage(Fingerprinter), batch_format="pandas")
         .to_pandas()
     )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram contamination (Lee et al., ACL 2022: "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr signal,
+# expressed at word-shingle granularity so it co-exists with the corpus's
+# whitespace-token spec)
+# ---------------------------------------------------------------------------
+_CONTAM_N = 5  # word-shingle width (frozen, mirrored in the SQL oracle)
+_CONTAM_BUCKETS = 64  # hash-partitions for the gram-df co-partition
+
+
+def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
+    """Per document: how many of its distinct word ``n``-grams also occur
+    in at least one OTHER document (cross-document boilerplate / template
+    contamination — the per-doc signal substring-dedup pipelines gate on).
+
+    Scale shape: per batch, tokens come from the shared byte-split kernel
+    and hash straight from the flat byte buffer (no Python strings);
+    rolling ``n``-gram hashes are one vectorized polynomial pass; per-doc
+    DISTINCT grams are a lexsort + boundary scan (a document is one row,
+    so per-doc dedup is batch-local complete). The all-to-all then moves
+    one thin (doc_id, gram_hash) row per distinct gram into
+    ``_CONTAM_BUCKETS`` hash-partitions — every occurrence of a gram
+    lands in ONE bucket, where document-frequency counting and the
+    per-doc partial sums are a single vectorized pass; partials reduce in
+    a final ``groupby(doc_id)`` whose input is ≤ buckets rows per doc.
+    Gram identity is the 64-bit polynomial hash (collision odds ~V²/2⁶⁵ —
+    the same documented trade as :func:`exact_dedup`).
+
+    Documents with fewer than ``n`` tokens have no ``n``-gram and are
+    excluded (mirrored in the oracle)."""
+    P = np.uint64(0x100000001B3)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "gram_hash": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        })
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        split = _byte_split_ws(texts)
+        if split is None:  # scalar frozen-spec fallback (rare batches)
+            toks: list[str] = []
+            docs: list[int] = []
+            for i, s in enumerate(texts.to_pylist()):
+                tt = s.split()
+                toks.extend(tt)
+                docs.extend([i] * len(tt))
+            h = hash_strings(pa.array(toks, pa.string()))
+            tok_doc = np.asarray(docs, dtype=np.int64)
+        else:
+            span, start_pos, tok_len, tok_doc = split
+            if len(start_pos) == 0:
+                return empty
+            h = fnv1a64_bytes_np(span, starts=start_pos, lengths=tok_len)
+        if len(h) < n:
+            return empty
+        # rolling polynomial n-gram hash over token hashes (vectorized);
+        # a gram is valid iff its first and last token share a document
+        L = len(h) - n + 1
+        acc = np.zeros(L, dtype=np.uint64)
+        for k in range(n):
+            acc = acc * P + h[k:L + k]
+        valid = tok_doc[:L] == tok_doc[n - 1:]
+        gdoc, ghash = tok_doc[:L][valid], acc[valid]
+        if len(gdoc) == 0:
+            return empty
+        # per-doc distinct grams: lexsort + boundary scan
+        order = np.lexsort((ghash, gdoc))
+        gd, gh = gdoc[order], ghash[order]
+        keep = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+        gd, gh = gd[keep], gh[keep]
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[gd]),
+            "gram_hash": pa.array(gh.view(np.int64)),
+            "bucket": pa.array(
+                ((gh ^ np.uint64(0x9E3779B97F4A7C15))
+                 % np.uint64(_CONTAM_BUCKETS)).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gram_hash"].to_numpy()
+        # document frequency per gram inside this bucket (rows are already
+        # distinct per (doc, gram), so value counts == distinct-doc counts)
+        codes, uniq = pd.factorize(gh)
+        nd = np.bincount(codes)
+        shared = (nd[codes] > 1).astype(np.int64)
+        docs = g["doc_id"].to_numpy()
+        dcodes, duniq = pd.factorize(docs)
+        return pd.DataFrame({
+            "doc_id": duniq.astype("int64"),
+            "n_grams": np.bincount(dcodes).astype("int64"),
+            "shared_grams": np.bincount(dcodes, weights=shared).astype("int64"),
+        })
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("shared_grams", alias_name="shared_grams"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_grams": pd.Series([], dtype="int64"),
+                             "shared_grams": pd.Series([], dtype="int64")})
+    for c in ("doc_id", "n_grams", "shared_grams"):
+        out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

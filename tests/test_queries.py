@@ -34,7 +34,8 @@ SQL_CHECKED = [
     "user_sessions", "top_events_per_user", "priority_revenue",
     "part_brand_stats", "order_priority_count", "distinct_segments",
     "lang_hist", "lang_id", "token_counts", "quality_scores",
-    "exact_dedup", "ngram_jaccard_pairs", "embedding_knn",
+    "exact_dedup", "normalized_dedup", "ngram_contamination",
+    "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
     "events_asof_orders", "events_sliding_window", "order_window_shipments",
