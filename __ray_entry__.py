@@ -51,9 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": rel.priority_revenue,  # large-x-large partitioned hash join
         "events_asof_orders": rel.events_asof_orders,  # as-of join (SQL-checked)
         "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window (SQL-checked)
+        "events_with_gap": rel.events_with_gap,  # LAG offset window (SQL-checked)
         "order_window_shipments": rel.order_window_shipments,  # interval/band join, no equality key (SQL-checked)
         "inactive_customers": rel.inactive_customers,  # partitioned anti join (SQL-checked)
         "returned_orders": rel.returned_orders,  # Bloom-pruned semi join (SQL-checked)
+        "customer_order_profile": rel.customer_order_profile,  # grouped LEFT OUTER join (SQL-checked)
+        "pricing_rollup": rel.pricing_rollup,  # GROUP BY ROLLUP multi-level aggregate (SQL-checked)
+        "supplier_pagerank": rel.supplier_pagerank,  # fixed-point integer PageRank on actor shards (SQL-checked)
         "user_value_median": rel.user_value_median,  # per-key exact quantile (SQL-checked)
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
@@ -102,8 +106,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pagerank_sql(iters: int = 4) -> str:
+    """Unrolled fixed-point PageRank (recursive CTEs can't aggregate in
+    the recursive term, so each synchronized round is its own CTE; the
+    integer arithmetic mirrors ``graph._PageRankShard`` verbatim)."""
+    ctes = [
+        """edges AS (
+             SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+             SELECT n.node,
+                    CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS node, SUM(p.r // o.d) AS s
+               FROM edges e JOIN pr{i-1} p ON p.node = e.src
+                            JOIN outdeg o ON o.node = e.src
+               GROUP BY e.dst) c ON c.node = n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+               node // 2 AS key, r AS pr
+        FROM pr{iters} ORDER BY node""")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "supplier_pagerank": _pagerank_sql(4),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -401,6 +433,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
             ORDER BY c_custkey
+        """,
+        "events_with_gap": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                   AS DOUBLE) AS gap_us
+            FROM events ORDER BY event_id
+        """,
+        "customer_order_profile": """
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders,
+                   COALESCE(CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5)
+                       AS BIGINT)) AS BIGINT), 0) AS spent_cents
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey ORDER BY c.c_custkey
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS price_cents,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
         """,
         "normalized_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents

@@ -41,8 +41,10 @@ QUERY_NAMES = [
     "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
     "embedding_neardup_dedup",
     "embedding_knn_ivf",
-    "events_asof_orders", "events_sliding_window", "order_window_shipments",
-    "inactive_customers", "returned_orders", "user_value_median",
+    "events_asof_orders", "events_sliding_window", "events_with_gap",
+    "order_window_shipments",
+    "inactive_customers", "returned_orders", "customer_order_profile",
+    "pricing_rollup", "supplier_pagerank", "user_value_median",
     "embedding_kmeans",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",

@@ -379,3 +379,118 @@ def connected_components_from_edge_partitions(
             for s in range(P)
         ]
     return _run_shards(shards, max_rounds, write_dir=write_dir)
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-point integer power iteration on the same Pregel-lite
+# actor-shard machinery as connected components (public algorithm: Page &
+# Brin 1998; fixed-point integer arithmetic so the result is bit-identical
+# at any parallelism AND expressible in SQL for the oracle gate).
+# ---------------------------------------------------------------------------
+# Frozen arithmetic spec (mirrored verbatim in the SQL oracle):
+#   rank_0(v)   = BASE                      (BASE = 10^9 fixed-point units)
+#   contrib(u)  = rank_t(u) // outdeg(u)    (floor division; outdeg from the
+#                                            DISTINCT directed edge set)
+#   rank_t+1(v) = (15*BASE)//100 + (85 * Σ_{u→v} contrib(u)) // 100
+# Dangling nodes simply emit nothing (their mass leaks — both engines
+# apply the identical formula, so the comparison is exact). Overflow
+# bound: 85 · Σ contrib < 2^63 requires in-mass < 1.1e17 fixed-point
+# units ≈ in-degree < 1e8 at BASE 1e9 — documented like the sibling
+# composite-key bounds; raise/lower BASE with the expected degree.
+_PR_BASE = 1_000_000_000
+
+
+@ray.remote(num_cpus=0)
+class _PageRankShard:
+    """One partition: owns ranks/outdegrees of ``node % P == sid`` and the
+    directed edges whose SOURCE lives here (so the contribution lookup is
+    always local). Messages are per-target-shard pre-aggregated
+    (target, partial-sum) numpy pairs — integer addition is commutative,
+    so any arrival order yields the same sums."""
+
+    def __init__(self, shard_id: int, num_shards: int,
+                 nodes: np.ndarray, eu: np.ndarray, ev: np.ndarray):
+        self.sid = shard_id
+        self.P = num_shards
+        self.nodes = np.unique(nodes)
+        self.rank = np.full(len(self.nodes), _PR_BASE, dtype=np.int64)
+        pos = np.searchsorted(self.nodes, eu)
+        self.outdeg = np.bincount(pos, minlength=len(self.nodes)).astype(np.int64)
+        tshard = (ev % self.P).astype(np.int64)
+        order = np.argsort(tshard, kind="stable")
+        self.eu = eu[order]
+        self.ev = ev[order]
+        self.tcuts = np.searchsorted(tshard[order], np.arange(self.P + 1))
+
+    def push(self) -> list:
+        """Per target shard: (targets, Σ contrib per distinct target)."""
+        contrib = np.where(self.outdeg > 0,
+                           self.rank // np.maximum(self.outdeg, 1), 0)
+        out = []
+        for t in range(self.P):
+            s, e = self.tcuts[t], self.tcuts[t + 1]
+            if s == e:
+                out.append(None)
+                continue
+            v = self.ev[s:e]
+            c = contrib[np.searchsorted(self.nodes, self.eu[s:e])]
+            order = np.argsort(v, kind="stable")
+            v, c = v[order], c[order]
+            cuts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+            out.append((v[cuts], np.add.reduceat(c, cuts)))
+        return out
+
+    def apply(self, *messages) -> None:
+        s = np.zeros(len(self.nodes), dtype=np.int64)
+        for m in messages:
+            if m is None:
+                continue
+            v, c = m
+            s[np.searchsorted(self.nodes, v)] += c
+        self.rank = (15 * _PR_BASE) // 100 + (85 * s) // 100
+
+    def result(self) -> tuple:
+        return self.nodes, self.rank
+
+
+def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 4, num_shards: int = 16) -> pd.DataFrame:
+    """(node, pr) for every node in the DISTINCT directed edge set, after
+    ``iters`` synchronized fixed-point rounds.
+
+    Driver-side edge intake is the test-scale form (same contract as
+    :func:`connected_components`); at corpus scale shards load their
+    pre-partitioned edge slices from a parquet sink exactly like
+    :func:`connected_components_from_edge_partitions` — the shard math
+    (``node % P`` owners, source-resident edges) is identical."""
+    eu = edges[src_col].to_numpy(dtype=np.int64)
+    ev = edges[dst_col].to_numpy(dtype=np.int64)
+    # distinct directed edges (the spec's edge set)
+    key = np.stack([eu, ev], axis=1)
+    key = np.unique(key, axis=0)
+    eu, ev = key[:, 0], key[:, 1]
+    nodes = np.unique(np.concatenate([eu, ev]))
+    P = num_shards
+    sid_n = nodes % P
+    sid_e = eu % P
+    shards = [
+        _PageRankShard.remote(s, P, nodes[sid_n == s],
+                              eu[sid_e == s], ev[sid_e == s])
+        for s in range(P)
+    ]
+    try:
+        for _ in range(iters):
+            outs = ray.get([sh.push.remote() for sh in shards])
+            ray.get([
+                sh.apply.remote(*[outs[s][t] for s in range(P)])
+                for t, sh in enumerate(shards)
+            ])
+        parts = ray.get([sh.result.remote() for sh in shards])
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pd.DataFrame({
+        "node": np.concatenate([p[0] for p in parts]),
+        "pr": np.concatenate([p[1] for p in parts]),
+    })
+    return out.sort_values("node").reset_index(drop=True)

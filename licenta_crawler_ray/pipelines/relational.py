@@ -281,6 +281,37 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_with_gap(sf_dir: str) -> pd.DataFrame:
+    """LAG window: each event's microsecond gap to the SAME user's previous
+    event (NULL for a user's first event) — the offset-window flavor next
+    to the RANGE frame (:func:`events_sliding_window`) and sessionization.
+
+    Same coarse user-bucket co-partition; inside a bucket the lag is one
+    mergesort + vectorized shift, never a per-user Python call. Order
+    inside a user is (ts, event_id) — the frozen tie-break shared with
+    the sibling window ops and the SQL oracle."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]].astype("float64")
+        gap[g["user_id"].ne(g["user_id"].shift(1)).to_numpy()] = np.nan
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "gap_us": gap,
+        })
+
+    out = (
+        _pq(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+        .map_batches(_bucket_users, batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per-key top-k (window-function shape): the k highest-value events of
     each user, ranked. Tie-break: higher value first, then lower event_id.
@@ -546,6 +577,182 @@ def inactive_customers(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
                              "c_name": pd.Series([], dtype="object")})
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_order_profile(sf_dir: str) -> pd.DataFrame:
+    """Grouped LEFT OUTER join: every customer with order count and total
+    spend — zero rows preserved (the flavor the inner join drops and the
+    anti join only detects).
+
+    Scale shape: the orders side pre-aggregates per batch (one
+    (custkey, n, cents) row per batch-distinct customer — the combiner),
+    both streams co-partition ONCE on the coarse custkey bucket, and the
+    per-bucket merge is a vectorized pandas groupby + left merge. Spend
+    is summed in integer CENTS (each price quantizes identically on both
+    engines; integer addition is order-independent) so the value hash is
+    stable at any parallelism."""
+    cust = _pq(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({
+            "key": t["c_custkey"],
+            "kind": pa.nulls(len(t), pa.int8()).fill_null(1),
+            "n": pa.nulls(len(t), pa.int64()),
+            "cents": pa.nulls(len(t), pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=_PARTIAL_BATCH,
+    )
+
+    def ods_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"key": t["o_custkey"], "cents": cents}) \
+            .group_by("key").aggregate([("cents", "sum"), ("cents", "count")])
+        g = g.rename_columns(["key", "cents", "n"])
+        return pa.table({
+            "key": g["key"],
+            "kind": pa.nulls(len(g), pa.int8()).fill_null(0),
+            "n": g["n"].cast(pa.int64()),
+            "cents": g["cents"],
+        })
+
+    ords = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(ods_partial, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.loc[g["kind"] == 0, ["key", "n", "cents"]]
+               .groupby("key", as_index=False).sum())
+        c = g.loc[g["kind"] == 1, ["key"]].merge(agg, on="key", how="left")
+        return pd.DataFrame({
+            "c_custkey": c["key"].astype("int64"),
+            "n_orders": c["n"].fillna(0).astype("int64"),
+            "spent_cents": c["cents"].fillna(0).astype("int64"),
+        })
+
+    out = (
+        cust.union(ords)
+        .map_batches(lambda t: _tag_bucket(t, "key"), batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "n_orders": pd.Series([], dtype="int64"),
+                             "spent_cents": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def pricing_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (``GROUP BY ROLLUP``): per (returnflag,
+    linestatus) plus per-returnflag subtotals plus the grand total, in one
+    pass over lineitem.
+
+    Scale shape: ONE streamed partial-aggregate + leaf groupby (identical
+    to :func:`pricing_summary`'s shuffle — one row per (batch, leaf key));
+    the subtotal and grand-total levels derive from the LEAF aggregate,
+    which is bounded by key cardinality, not corpus size, so the rollup
+    costs nothing extra at 100 TB. Measures are integer (count + cents)
+    for hash-stable totals. NULL group markers follow SQL ROLLUP."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        t = pa.table({"l_returnflag": t["l_returnflag"],
+                      "l_linestatus": t["l_linestatus"], "cents": cents})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "price_cents", "n_items"])
+
+    leaf = (
+        _pq(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("price_cents", alias_name="price_cents"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    leaf["n_items"] = leaf["n_items"].astype("int64")
+    leaf["price_cents"] = leaf["price_cents"].astype("int64")
+    sub = (leaf.groupby("l_returnflag", as_index=False)
+           [["price_cents", "n_items"]].sum())
+    sub["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "price_cents": [leaf["price_cents"].sum()],
+        "n_items": [leaf["n_items"].sum()],
+    })
+    out = pd.concat([leaf, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "price_cents", "n_items"]]
+    for c in ("price_cents", "n_items"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="last"
+    ).reset_index(drop=True)
+
+
+def supplier_pagerank(sf_dir: str, iters: int = 4) -> pd.DataFrame:
+    """Link analysis: fixed-point integer PageRank over the bipartite
+    customer→supplier purchase graph (an edge per DISTINCT (customer,
+    supplier) pair observed in orders⋈lineitem).
+
+    Scale shape: the edge build is the reusable partitioned
+    :func:`~licenta_crawler_ray.pipelines.joins.hash_join` (one shuffle)
+    followed by ONE pair-hash co-partition for exact distinct-ing; the
+    iteration runs on the Pregel-lite actor shards
+    (:func:`~licenta_crawler_ray.pipelines.graph.pagerank` — edges stay
+    resident, only per-target pre-aggregated integer sums move per
+    round). Node ids namespace the bipartition (customer → 2k,
+    supplier → 2k+1 — mirrored in the SQL oracle); fixed-point integer
+    arithmetic makes the result bit-identical at any parallelism."""
+    from .graph import pagerank
+    from .joins import hash_join
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                                         "l_suppkey": t["l_suppkey"]}),
+                     batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+    ods = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = pc.multiply(t["o_custkey"].cast(pa.int64()), pa.scalar(2, pa.int64()))
+        dst = pc.add(pc.multiply(t["l_suppkey"].cast(pa.int64()),
+                                 pa.scalar(2, pa.int64())), pa.scalar(1, pa.int64()))
+        e = pa.table({"src": src, "dst": dst})
+        # per-batch distinct (combiner before the co-partition)
+        e = e.group_by(["src", "dst"]).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(
+                pc.bit_wise_xor(pc.multiply(e["src"], pa.scalar(2654435761, pa.int64())),
+                                e["dst"]),
+                pa.scalar(63, pa.int64())),
+            pa.int32())
+        return e.append_column("bucket", b)
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    edges = (
+        hash_join(li, ods, key="o_orderkey")
+        .map_batches(edge_rows, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .to_pandas()  # distinct entity-pair edges — bounded by |C|·|S|
+        # coverage, not corpus size; the scale path sinks these to the
+        # sharded edge layout instead (see graph.pagerank docstring)
+    )
+    pr = pagerank(edges, iters=iters)
+    return pd.DataFrame({
+        "kind": np.where(pr["node"] % 2 == 0, "c", "s"),
+        "key": (pr["node"] // 2).astype("int64"),
+        "pr": pr["pr"].astype("int64"),
+    })
 
 
 # Bloom sizing for the semi join's pruning filter. At sf0.1 the build side

@@ -1829,14 +1829,29 @@ def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
             "shared_grams": np.bincount(dcodes, weights=shared).astype("int64"),
         })
 
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False)[
+            ["n_grams", "shared_grams"]].sum()
+
     out = (
         _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n_grams", alias_name="n_grams"),
-                   Sum("shared_grams", alias_name="shared_grams"))
+        # partial reduction in ≤16 coarse doc buckets, NOT one Ray group
+        # per doc_id: per_bucket leaves one tiny block per gram bucket and
+        # a direct groupby(doc_id).aggregate over them measured 60 s of
+        # block-scheduling against <2 s of real work (the same shape as
+        # order_window_shipments' 45x fix) — repartition first, then one
+        # vectorized pandas sum per doc bucket
+        .map_batches(
+            lambda t: t.append_column(
+                "dbucket", pc.cast(pc.bit_wise_and(
+                    t["doc_id"], pa.scalar(15, pa.int64())), pa.int32())),
+            batch_format="pyarrow")
+        .repartition(8)
+        .groupby("dbucket")
+        .map_groups(merge_partials, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

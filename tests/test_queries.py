@@ -38,8 +38,10 @@ SQL_CHECKED = [
     "ngram_jaccard_pairs", "embedding_knn",
     "embedding_neardup_pairs", "neardup_dedup", "token_hist",
     "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
-    "events_asof_orders", "events_sliding_window", "order_window_shipments",
-    "inactive_customers", "returned_orders", "user_value_median",
+    "events_asof_orders", "events_sliding_window", "events_with_gap",
+    "order_window_shipments",
+    "inactive_customers", "returned_orders", "customer_order_profile",
+    "pricing_rollup", "supplier_pagerank", "user_value_median",
     "token_quantiles", "value_quantiles_exact",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
     "reservoir_sample", "stratified_sample",
