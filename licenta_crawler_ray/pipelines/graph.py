@@ -470,7 +470,11 @@ def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
     key = np.unique(key, axis=0)
     eu, ev = key[:, 0], key[:, 1]
     nodes = np.unique(np.concatenate([eu, ev]))
-    P = num_shards
+    # adaptive shard count: at small edge counts the fixed actor spin-up
+    # dominates (16 actors for a 10k-edge graph); one shard per ~100k
+    # edges, capped at the requested count — the result is shard-count
+    # invariant (fixed-point arithmetic), only the wall changes
+    P = max(2, min(num_shards, len(eu) // 100_000 + 1))
     sid_n = nodes % P
     sid_e = eu % P
     shards = [

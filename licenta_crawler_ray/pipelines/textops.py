@@ -1742,7 +1742,8 @@ _CONTAM_N = 5  # word-shingle width (frozen, mirrored in the SQL oracle)
 _CONTAM_BUCKETS = 64  # hash-partitions for the gram-df co-partition
 
 
-def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
+def ngram_contamination(sf_dir: str, n: int = _CONTAM_N,
+                        _return_ds: bool = False):
     """Per document: how many of its distinct word ``n``-grams also occur
     in at least one OTHER document (cross-document boilerplate / template
     contamination — the per-doc signal substring-dedup pipelines gate on).
@@ -1833,7 +1834,7 @@ def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
         return g.groupby("doc_id", as_index=False)[
             ["n_grams", "shared_grams"]].sum()
 
-    out = (
+    ds = (
         _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
@@ -1852,8 +1853,10 @@ def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
         .repartition(8)
         .groupby("dbucket")
         .map_groups(merge_partials, batch_format="pandas")
-        .to_pandas()
     )
+    if _return_ds:
+        return ds
+    out = ds.to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "n_grams": pd.Series([], dtype="int64"),
@@ -1861,3 +1864,16 @@ def ngram_contamination(sf_dir: str, n: int = _CONTAM_N) -> pd.DataFrame:
     for c in ("doc_id", "n_grams", "shared_grams"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_contamination_to_parquet(sf_dir: str, out_dir: str,
+                                   n: int = _CONTAM_N) -> dict:
+    """Scale form of :func:`ngram_contamination`: the per-document signal
+    table leaves through worker-side parquet parts (a corpus-sized result
+    never transits the driver — same contract as
+    :func:`distinctive_terms_to_parquet`). Only this summary returns."""
+    import pyarrow.dataset as pads
+
+    ngram_contamination(sf_dir, n, _return_ds=True).write_parquet(out_dir)
+    d = pads.dataset(out_dir, format="parquet")
+    return {"out_dir": out_dir, "rows": int(d.count_rows())}

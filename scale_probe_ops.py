@@ -12,7 +12,10 @@ protocol to the OTHER corpus-scale families the round-3 verdict named:
   corpus (Zipf-ish common head that the df gate filters, rare tail that
   survives — the realistic regime; a uniform vocab would pass everything);
 - ``order_window_shipments`` (no-equality-key interval join) over ~1M
-  lineitems x 250k orders (~10^10 logical pairs, never materialized).
+  lineitems x 250k orders (~10^10 logical pairs, never materialized);
+- ``ngram_contamination`` (round-4 repeated-5-gram signal) over the same
+  1M-doc corpus — the planted Zipf head guarantees real cross-document
+  gram sharing at every scale.
 
 Protocol (same as bench.py --scaling / scale_probe.py): each CPU level
 runs in a FRESH process (subprocess self-invocation), one untimed sf0.001
@@ -46,22 +49,34 @@ N_ORDERS = 2 * N_DOCS     # cheaper per row than the text ops — larger
 
 
 def build_corpus() -> str:
-    os.makedirs(PROBE_DIR, exist_ok=True)
+    import shutil
+
     meta = os.path.join(PROBE_DIR, "probe_meta.json")
     want = {"n": N_DOCS, "common": COMMON_VOCAB, "rare": RARE_VOCAB,
             "cpd": COMMON_PER_DOC, "rpd": RARE_PER_DOC,
-            "items": N_ITEMS, "orders": N_ORDERS}
+            "items": N_ITEMS, "orders": N_ORDERS, "sharded": 32}
     if os.path.exists(meta) and json.load(open(meta)) == want:
         return PROBE_DIR
+    shutil.rmtree(PROBE_DIR, ignore_errors=True)  # stale layout/params
+    os.makedirs(PROBE_DIR, exist_ok=True)
     rng = np.random.default_rng(20260817)
     common = np.array([f"c{i:04d}" for i in range(COMMON_VOCAB)])
     rare = np.array([f"r{i:06d}" for i in range(RARE_VOCAB)])
-    # Zipf-ish head draw (bounded) + uniform tail; assemble row-wise text
-    # in chunks to bound builder memory
-    docs_path = os.path.join(PROBE_DIR, "documents.parquet")
-    writer = None
-    CHUNK = 100_000
-    for lo in range(0, N_DOCS, CHUNK):
+    # Every table is written as a DIRECTORY of part files (a .parquet
+    # directory reads identically through rd.read_parquet). A single
+    # monolithic file was the probe's own bottleneck: Ray fuses
+    # read→tokenize→count into the read tasks, and one file yields so few
+    # read tasks that the whole scan ran ~serial — heavy_tokens measured
+    # t₄ ≈ t₁₆ ≈ 12.5 s (efficiency 0.24) on the one-file corpus vs real
+    # scaling on shards. That is the production lesson (the brief's
+    # "never one giant file"), not an engine property: a 100 TB corpus is
+    # always many shards.
+    CHUNK = 31_250  # one part file per chunk → 32 read/map tasks at 1M
+    # docs (10 parts measured eff 0.44 at 4-vs-16: map parallelism is
+    # one task per block, so shard count IS the scan's parallelism cap)
+    docs_dir = os.path.join(PROBE_DIR, "documents.parquet")
+    os.makedirs(docs_dir, exist_ok=True)
+    for part, lo in enumerate(range(0, N_DOCS, CHUNK)):
         n = min(CHUNK, N_DOCS - lo)
         zipf = np.minimum(rng.zipf(1.3, size=(n, COMMON_PER_DOC)) - 1,
                           COMMON_VOCAB - 1)
@@ -73,24 +88,33 @@ def build_corpus() -> str:
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(["en"] * n),
         })
-        if writer is None:
-            writer = pq.ParquetWriter(docs_path, t.schema)
-        writer.write_table(t, row_group_size=8192)
-    writer.close()
+        pq.write_table(t, os.path.join(docs_dir, f"part-{part:04d}.parquet"),
+                       row_group_size=8192)
     # interval-join tables: ~10^11 logical (order, item) pairs at 8M items
     base = np.datetime64("1995-01-01", "us").astype(np.int64)
     span_us = np.int64(730) * 86_400_000_000
-    ship = base + rng.integers(0, span_us, size=N_ITEMS)
-    pq.write_table(pa.table({
-        "l_shipdate": pa.array(ship.astype("datetime64[us]")),
-        "l_extendedprice": pa.array(rng.uniform(10, 1000, N_ITEMS).round(2)),
-        "l_discount": pa.array(rng.uniform(0, 0.1, N_ITEMS).round(2)),
-    }), os.path.join(PROBE_DIR, "lineitem.parquet"), row_group_size=65536)
-    odate = base + rng.integers(0, span_us, size=N_ORDERS)
-    pq.write_table(pa.table({
-        "o_orderkey": pa.array(np.arange(N_ORDERS, dtype=np.int64)),
-        "o_orderdate": pa.array(odate.astype("datetime64[us]")),
-    }), os.path.join(PROBE_DIR, "orders.parquet"), row_group_size=65536)
+
+    def _write_parts(name: str, total: int, nparts: int, make):
+        d = os.path.join(PROBE_DIR, name)
+        os.makedirs(d, exist_ok=True)
+        per = (total + nparts - 1) // nparts
+        for part, lo in enumerate(range(0, total, per)):
+            n = min(per, total - lo)
+            pq.write_table(make(lo, n),
+                           os.path.join(d, f"part-{part:04d}.parquet"),
+                           row_group_size=65536)
+
+    _write_parts("lineitem.parquet", N_ITEMS, 32, lambda lo, n: pa.table({
+        "l_shipdate": pa.array(
+            (base + rng.integers(0, span_us, size=n)).astype("datetime64[us]")),
+        "l_extendedprice": pa.array(rng.uniform(10, 1000, n).round(2)),
+        "l_discount": pa.array(rng.uniform(0, 0.1, n).round(2)),
+    }))
+    _write_parts("orders.parquet", N_ORDERS, 16, lambda lo, n: pa.table({
+        "o_orderkey": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, span_us, size=n)).astype("datetime64[us]")),
+    }))
     json.dump(want, open(meta, "w"))
     return PROBE_DIR
 
@@ -136,11 +160,20 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
     from licenta_crawler_ray.pipelines.sketches import (
         heavy_tokens, heavy_tokens_sketch,
     )
-    from licenta_crawler_ray.pipelines.textops import distinctive_terms_to_parquet
+    from licenta_crawler_ray.pipelines.textops import (
+        distinctive_terms_to_parquet, ngram_contamination_to_parquet,
+    )
 
     sf = build_corpus()
     warm = "/root/testdata/sf0.001"
     out: dict = {"cpus": num_cpus}
+
+    def nc_sink(d):
+        # scale form: worker-side parquet sink (the query form's 1M-row
+        # to_pandas would measure the driver, not the engine)
+        o = os.path.join(PROBE_DIR, f"nc_out_{num_cpus}")
+        shutil.rmtree(o, ignore_errors=True)
+        return ngram_contamination_to_parquet(d, o)["rows"]
 
     def dt_sink(d):
         # the scale form: worker-side parquet sink — the driver-DataFrame
@@ -155,14 +188,23 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
         ("heavy_tokens_sketch", lambda d: len(heavy_tokens_sketch(d))),
         ("distinctive_terms_to_parquet", dt_sink),
         ("order_window_shipments", lambda d: len(order_window_shipments(d))),
+        ("ngram_contamination", lambda d: nc_sink(d)),
     ]
+    only = os.environ.get("LCR_PROBE_OPS")
+    if only:  # targeted rerun of a subset (co-tenancy-window control)
+        names = set(only.split(","))
+        ops = [(n, f) for n, f in ops if n in names]
     for name, fn in ops:
         fn(warm)  # untimed session/path warm-up at 1/1000 scale
-        os.sync()
-        t0 = time.perf_counter()
-        rows = fn(sf)
-        out[name] = {"sec": round(time.perf_counter() - t0, 2),
-                     "rows": int(rows)}
+        best, rows = float("inf"), None
+        for _ in range(2):  # best-of-2 timed (headline protocol): the
+            # box's co-tenancy band swung 3-4x between probe runs this
+            # round; min-of-2 per level is the controlled estimate
+            os.sync()
+            t0 = time.perf_counter()
+            rows = fn(sf)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = {"sec": round(best, 2), "rows": int(rows)}
     if with_ab:
         # tokenizer A/B on identical input, same session (hi level only)
         heavy_tokens_pylist(warm)
@@ -192,8 +234,12 @@ def main() -> None:
                              check=True).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
     summary = {"docs": N_DOCS, "items": N_ITEMS, "orders": N_ORDERS, "ops": {}}
-    for name in ("heavy_tokens", "heavy_tokens_sketch",
-                 "distinctive_terms_to_parquet", "order_window_shipments"):
+    op_names = ("heavy_tokens", "heavy_tokens_sketch",
+                "distinctive_terms_to_parquet", "order_window_shipments",
+                "ngram_contamination")
+    if os.environ.get("LCR_PROBE_OPS"):
+        op_names = tuple(os.environ["LCR_PROBE_OPS"].split(","))
+    for name in op_names:
         t4 = results[4][name]["sec"]
         t16 = results[16][name]["sec"]
         assert results[4][name]["rows"] == results[16][name]["rows"]
@@ -203,7 +249,7 @@ def main() -> None:
             "efficiency": round((t4 / t16) / 4, 2),
         }
     ab = results[16].get("heavy_tokens_pylist")
-    if ab:
+    if ab and "heavy_tokens" in results[16]:
         summary["tokenizer_ab_16cpu"] = {
             "arrow_sec": results[16]["heavy_tokens"]["sec"],
             "pylist_sec": ab["sec"],

@@ -497,3 +497,35 @@ class TestBloomSemiJoin:
             hit &= (words[(q >> np.uint64(6)).astype(np.int64)]
                     >> (q & np.uint64(63))) & np.uint64(1) != 0
         assert hit.mean() < 0.01
+
+
+class TestPageRank:
+    def test_matches_dense_reference(self):
+        """Sharded fixed-point PageRank ≡ a single-process numpy loop
+        applying the identical integer formula (the arithmetic spec is
+        frozen, so any parallelism must be bit-identical)."""
+        from licenta_crawler_ray.pipelines.graph import _PR_BASE, pagerank
+
+        rng = np.random.default_rng(13)
+        n_nodes, n_edges = 200, 1500
+        eu = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        ev = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        import pandas as pd
+        edges = pd.DataFrame({"src": eu, "dst": ev}).drop_duplicates()
+        got = pagerank(edges, iters=5, num_shards=4)
+
+        key = np.unique(np.stack([edges["src"], edges["dst"]], axis=1), axis=0)
+        du, dv = key[:, 0], key[:, 1]
+        nodes = np.unique(np.concatenate([du, dv]))
+        idx = {v: i for i, v in enumerate(nodes)}
+        src_i = np.array([idx[v] for v in du])
+        dst_i = np.array([idx[v] for v in dv])
+        outdeg = np.bincount(src_i, minlength=len(nodes)).astype(np.int64)
+        rank = np.full(len(nodes), _PR_BASE, dtype=np.int64)
+        for _ in range(5):
+            contrib = np.where(outdeg > 0, rank // np.maximum(outdeg, 1), 0)
+            s = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(s, dst_i, contrib[src_i])
+            rank = (15 * _PR_BASE) // 100 + (85 * s) // 100
+        assert got["node"].to_numpy().tolist() == nodes.tolist()
+        assert got["pr"].to_numpy().tolist() == rank.tolist()
