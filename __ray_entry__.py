@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": sk.approx_distinct_orders,  # HyperLogLog; rows-only
         "corpus_sample": sk.corpus_sample,                  # SQL-checked (hash Bernoulli)
         "reservoir_sample": sk.reservoir_sample,            # SQL-checked (priority top-k)
+        "weighted_sample": sk.weighted_sample,              # SQL-checked (weight-biased priority top-k)
         "stratified_sample": sk.stratified_sample,          # SQL-checked (per-stratum rates)
         "value_quantiles": sk.value_quantiles,              # histogram sketch; rows-only
         "value_quantiles_exact": sk.value_quantiles_exact,  # SQL-checked (exact, cents)
@@ -419,6 +420,16 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS rank, doc_id
             FROM (SELECT doc_id FROM documents
                   ORDER BY (doc_id*2654435761) & 4294967295, doc_id
+                  LIMIT 50)
+        """,
+        "weighted_sample": """
+            SELECT CAST(row_number() OVER (
+                     ORDER BY ((event_id*2654435761) & 4294967295) / value,
+                              event_id)
+                   AS BIGINT) AS rank, event_id, value
+            FROM (SELECT event_id, value FROM events
+                  ORDER BY ((event_id*2654435761) & 4294967295) / value,
+                           event_id
                   LIMIT 50)
         """,
         "stratified_sample": """

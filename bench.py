@@ -49,6 +49,7 @@ QUERY_NAMES = [
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",
     "corpus_sample", "reservoir_sample", "stratified_sample",
+    "weighted_sample",
     "value_quantiles", "value_quantiles_exact",
 ]
 

@@ -349,6 +349,45 @@ def reservoir_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return cand[["rank", "doc_id"]]
 
 
+def weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Fixed-size WEIGHT-BIASED sample of events (weight = ``value``):
+    the k rows with the smallest ``knuth_hash(event_id) / value``
+    priority — higher-value events draw proportionally smaller
+    priorities, so they are over-represented, the streaming analogue of
+    probability-proportional-to-size sampling. Same distributed top-k
+    shape as :func:`reservoir_sample` (each batch ships ≤ k candidate
+    rows). The priority uses one IEEE double division — bit-identical in
+    numpy and DuckDB, so the draw stays SQL-checkable (the classical
+    Efraimidis–Spirakis ``u^(1/w)`` key needs ``pow``, which is not
+    bit-stable across engines; this h/w key keeps the weight bias and
+    the determinism). Weights must be positive (events.value ≥ 0.01)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _knuth_hash(t["event_id"]).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        prio = h / v
+        if len(ids) > k:
+            sel = np.lexsort((ids, prio))[:k]
+            prio, ids, v = prio[sel], ids[sel], v[sel]
+        return pa.table({"event_id": ids, "value": v, "priority": prio})
+
+    cand = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "event_id": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    cand = cand.sort_values(["priority", "event_id"], kind="mergesort").head(k)
+    cand = cand.reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand[["rank", "event_id", "value"]]
+
+
 def value_quantiles(sf_dir: str, bins: int = 4096) -> pd.DataFrame:
     """Approximate quantiles of a CONTINUOUS measure (``events.value``) —
     the scale sibling of :func:`token_quantiles`, whose exact value-count

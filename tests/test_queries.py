@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "pricing_rollup", "supplier_pagerank", "user_value_median",
     "token_quantiles", "value_quantiles_exact",
     "heavy_tokens", "distinct_order_count", "corpus_sample",
-    "reservoir_sample", "stratified_sample",
+    "reservoir_sample", "stratified_sample", "weighted_sample",
 ]
 
 
