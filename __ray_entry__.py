@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_ivf": sim.embedding_knn_ivf,         # approx; rows-only
         "embedding_knn_lsh": sim.embedding_knn_lsh,         # approx; rows-only
         "embedding_kmeans": sim.embedding_kmeans,           # iterative; rows-only
+        "embedding_pca": sim.embedding_pca,                 # one-pass covariance combiner; rows-only
         # --- sketches & sampling
         "token_quantiles": sk.token_quantiles,              # SQL-checked (exact histogram)
         "heavy_tokens": sk.heavy_tokens,                    # SQL-checked (exact)

@@ -40,12 +40,12 @@ QUERY_NAMES = [
     "embedding_knn",
     "embedding_neardup_pairs", "embedding_neardup_pairs_ivf",
     "embedding_neardup_dedup",
-    "embedding_knn_ivf",
+    "embedding_knn_ivf", "embedding_knn_lsh",
     "events_asof_orders", "events_sliding_window", "events_with_gap",
     "order_window_shipments",
     "inactive_customers", "returned_orders", "customer_order_profile",
     "pricing_rollup", "supplier_pagerank", "user_value_median",
-    "embedding_kmeans",
+    "embedding_kmeans", "embedding_pca",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
     "distinct_order_count", "approx_distinct_orders",
     "corpus_sample", "reservoir_sample", "stratified_sample",

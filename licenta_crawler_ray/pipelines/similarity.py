@@ -578,3 +578,75 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_pca(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Top-``k`` principal-component projection of every embedding.
+
+    Distributed one-pass moment accumulation — the textbook covariance
+    combiner: each batch emits (count, Σx, XᵀX) as ONE row of constant
+    size (D² + D + 1 floats, D = embedding dim), partials pre-merge in
+    ≤64 coarse buckets, and the driver assembles the D×D covariance
+    (tiny at any corpus size), eigendecomposes locally, fixes
+    eigenvector signs deterministically (the largest-|coordinate| entry
+    is made positive) and broadcasts the projection for a second
+    vectorized pass. Rows-only: eigensolves are not SQL-expressible;
+    pytest verifies the projection against a single-process numpy
+    reference."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        ids, m = _arrow_matrix(t)
+        if len(m) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.list_(pa.float64()))})
+        d = m.shape[1]
+        payload = np.concatenate([m.sum(0), (m.T @ m).reshape(-1)])
+        return pa.table({
+            "bucket": pa.array([int(ids[0]) & 63], pa.int32()),
+            "n": pa.array([len(m)], pa.int64()),
+            "payload": pa.array([payload], pa.list_(pa.float64())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pl = np.stack(g["payload"].to_numpy()).sum(0)
+        return pd.DataFrame({"n": [int(g["n"].sum())], "payload": [pl]})
+
+    parts = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(moments, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+    n = int(parts["n"].sum())
+    pl = np.stack(parts["payload"].to_numpy()).sum(0)
+    d = int((-1 + np.sqrt(1 + 4 * len(pl))) / 2)  # len = d + d²
+    s, xtx = pl[:d], pl[d:].reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    comps = v[:, ::-1][:, :k].T.copy()  # (k, d), leading first
+    for i in range(k):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    state = ray.put({"mean": mean, "comps": comps})
+
+    def project(t: pa.Table) -> pa.Table:
+        st = ray.get(state)
+        ids, m = _arrow_matrix(t)
+        proj = (m - st["mean"][None, :]) @ st["comps"].T
+        cols = {"vec_id": pa.array(ids)}
+        for i in range(proj.shape[1]):
+            cols[f"pc{i}"] = pa.array(proj[:, i])
+        return pa.table(cols)
+
+    out = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(project, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

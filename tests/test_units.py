@@ -529,3 +529,36 @@ class TestPageRank:
             rank = (15 * _PR_BASE) // 100 + (85 * s) // 100
         assert got["node"].to_numpy().tolist() == nodes.tolist()
         assert got["pr"].to_numpy().tolist() == rank.tolist()
+
+
+class TestEmbeddingPCA:
+    def test_matches_numpy_reference(self):
+        """Distributed one-pass covariance combiner ≡ single-process numpy
+        PCA (same covariance, same eigensolve, same sign rule) up to
+        floating summation order."""
+        import pyarrow.parquet as pq
+
+        from licenta_crawler_ray.pipelines.similarity import embedding_pca
+
+        sf = "/root/testdata/sf0.001"
+        got = embedding_pca(sf, k=2)
+
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e) for e in t["embedding"].to_pylist()]
+                     ).astype(np.float64)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        mean = m.mean(0)
+        cov = (m - mean).T @ (m - mean) / len(m)
+        w, v = np.linalg.eigh(cov)
+        comps = v[:, ::-1][:, :2].T.copy()
+        for i in range(2):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        ref = (m - mean) @ comps.T
+        assert got["vec_id"].to_numpy().tolist() == ids.tolist()
+        np.testing.assert_allclose(
+            got[["pc0", "pc1"]].to_numpy(), ref, rtol=1e-8, atol=1e-8)
