@@ -696,7 +696,14 @@ def pricing_rollup(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
-def supplier_pagerank(sf_dir: str, iters: int = 4) -> pd.DataFrame:
+# Round count shared with the SQL oracle (__ray_entry__._pagerank_sql
+# unrolls exactly this many CTE rounds) — deriving both sides from ONE
+# constant keeps the parity gate honest if the default ever changes
+# (round-4 advice: a hard-pinned oracle silently failed other values).
+_PR_ITERS = 4
+
+
+def supplier_pagerank(sf_dir: str, iters: int = _PR_ITERS) -> pd.DataFrame:
     """Link analysis: fixed-point integer PageRank over the bipartite
     customer→supplier purchase graph (an edge per DISTINCT (customer,
     supplier) pair observed in orders⋈lineitem).
