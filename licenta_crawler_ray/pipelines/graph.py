@@ -400,6 +400,19 @@ def connected_components_from_edge_partitions(
 _PR_BASE = 1_000_000_000
 
 
+def _pr_apply_update(s: np.ndarray) -> np.ndarray:
+    """rank ← (15·BASE)//100 + (85·Σcontrib)//100, with the documented
+    in-mass bound ENFORCED: past ~1.1e17 fixed-point units the int64
+    multiply would wrap silently and produce wrong ranks (round-4
+    advice) — a degree blow-up now fails loudly instead."""
+    if len(s) and int(s.max()) > (2**63 - 1) // 85:
+        raise OverflowError(
+            f"PageRank in-mass {int(s.max())} exceeds the int64 fixed-point "
+            f"bound (2^63-1)/85; lower _PR_BASE or pre-aggregate the hot "
+            f"node's in-edges")
+    return (15 * _PR_BASE) // 100 + (85 * s) // 100
+
+
 @ray.remote(num_cpus=0)
 class _PageRankShard:
     """One partition: owns ranks/outdegrees of ``node % P == sid`` and the
@@ -409,9 +422,34 @@ class _PageRankShard:
     so any arrival order yields the same sums."""
 
     def __init__(self, shard_id: int, num_shards: int,
-                 nodes: np.ndarray, eu: np.ndarray, ev: np.ndarray):
+                 nodes: np.ndarray | None = None,
+                 eu: np.ndarray | None = None, ev: np.ndarray | None = None,
+                 layout_dir: str | None = None):
         self.sid = shard_id
         self.P = num_shards
+        if layout_dir is not None:
+            # driver-free form (mirrors _CCShard): the shard pulls ITS
+            # pre-partitioned slice of the write_directed_edges layout —
+            # edge rows (kind 0, src-resident here by construction) plus
+            # dst-node rows (kind 1, routed by dst % P) that make every
+            # dangling/dst-only node known to its owner. The edge set
+            # never exists in any single process.
+            import os
+
+            import pyarrow.dataset as pads
+
+            pdir = os.path.join(layout_dir, f"shard={shard_id}")
+            if os.path.isdir(pdir):
+                t = pads.dataset(pdir, format="parquet").to_table(
+                    columns=["kind", "u", "v"])
+                kind = t.column("kind").to_numpy()
+                u = t.column("u").to_numpy().astype(np.int64)
+                v = t.column("v").to_numpy().astype(np.int64)
+                is_e = kind == 0
+                eu, ev = u[is_e], v[is_e]
+                nodes = np.concatenate([eu, u[~is_e]])
+            else:  # a partition can be legitimately empty
+                eu = ev = nodes = np.empty(0, dtype=np.int64)
         self.nodes = np.unique(nodes)
         self.rank = np.full(len(self.nodes), _PR_BASE, dtype=np.int64)
         pos = np.searchsorted(self.nodes, eu)
@@ -447,10 +485,49 @@ class _PageRankShard:
                 continue
             v, c = m
             s[np.searchsorted(self.nodes, v)] += c
-        self.rank = (15 * _PR_BASE) // 100 + (85 * s) // 100
+        self.rank = _pr_apply_update(s)
 
     def result(self) -> tuple:
         return self.nodes, self.rank
+
+    def write_result(self, out_dir: str) -> int:
+        """Write this shard's (node, pr) ranks to its own parquet part —
+        rank tables are node-set-sized, so at scale they leave through
+        the shards, never through the driver (same contract as
+        ``_CCShard.write_result``)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        t = pa.table({"node": pa.array(self.nodes),
+                      "pr": pa.array(self.rank)})
+        pq.write_table(t, os.path.join(out_dir, f"part-{self.sid:04d}.parquet"))
+        return len(self.nodes)
+
+
+def _run_pr_shards(shards: list, iters: int, write_dir: str | None = None):
+    P = len(shards)
+    try:
+        for _ in range(iters):
+            outs = ray.get([sh.push.remote() for sh in shards])
+            ray.get([
+                sh.apply.remote(*[outs[s][t] for s in range(P)])
+                for t, sh in enumerate(shards)
+            ])
+        if write_dir is not None:
+            return sum(ray.get([sh.write_result.remote(write_dir)
+                                for sh in shards]))
+        parts = ray.get([sh.result.remote() for sh in shards])
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pd.DataFrame({
+        "node": np.concatenate([p[0] for p in parts]),
+        "pr": np.concatenate([p[1] for p in parts]),
+    })
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
@@ -459,10 +536,12 @@ def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
     ``iters`` synchronized fixed-point rounds.
 
     Driver-side edge intake is the test-scale form (same contract as
-    :func:`connected_components`); at corpus scale shards load their
-    pre-partitioned edge slices from a parquet sink exactly like
-    :func:`connected_components_from_edge_partitions` — the shard math
-    (``node % P`` owners, source-resident edges) is identical."""
+    :func:`connected_components`); at corpus scale sink the distinct
+    edges with :func:`write_directed_edges` and run
+    :func:`pagerank_from_edge_partitions` — shards then load their own
+    pre-partitioned slices and the edge set never passes through the
+    driver. The two forms are pytest-proven rank-identical (fixed-point
+    arithmetic; same ``node % P`` owners, same source-resident edges)."""
     eu = edges[src_col].to_numpy(dtype=np.int64)
     ev = edges[dst_col].to_numpy(dtype=np.int64)
     # distinct directed edges (the spec's edge set)
@@ -482,19 +561,58 @@ def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
                               eu[sid_e == s], ev[sid_e == s])
         for s in range(P)
     ]
-    try:
-        for _ in range(iters):
-            outs = ray.get([sh.push.remote() for sh in shards])
-            ray.get([
-                sh.apply.remote(*[outs[s][t] for s in range(P)])
-                for t, sh in enumerate(shards)
-            ])
-        parts = ray.get([sh.result.remote() for sh in shards])
-    finally:
-        for sh in shards:
-            ray.kill(sh)
-    out = pd.DataFrame({
-        "node": np.concatenate([p[0] for p in parts]),
-        "pr": np.concatenate([p[1] for p in parts]),
-    })
-    return out.sort_values("node").reset_index(drop=True)
+    return _run_pr_shards(shards, iters)
+
+
+def write_directed_edges(
+    pairs, src_col: str, dst_col: str, out_dir: str, num_shards: int = 16
+) -> dict:
+    """DISTINCT directed-pair Dataset → the shard-partitioned layout
+    :func:`pagerank_from_edge_partitions` loads (``{out_dir}/shard={s}``).
+
+    One streaming pass emits, per input edge, an edge row (kind 0,
+    ``shard == src % P`` — so every edge is resident with its source's
+    rank/outdegree owner) plus a batch-deduped dst-node row (kind 1,
+    ``shard == dst % P`` — so dst-only/dangling nodes are known to THEIR
+    owner without any shard ever scanning foreign slices). The caller
+    guarantees the pairs are globally distinct (the PageRank spec's edge
+    set); the shard math must agree with :class:`_PageRankShard` — this
+    helper is the single home for that invariant, like its CC sibling
+    :func:`write_symmetric_edges`."""
+
+    def explode(t):
+        import pyarrow as pa
+
+        src = t.column(src_col).to_numpy().astype(np.int64)
+        dst = t.column(dst_col).to_numpy().astype(np.int64)
+        nd = np.unique(dst)  # per-batch dedup of node rows (volume only)
+        u = np.concatenate([src, nd])
+        v = np.concatenate([dst, np.zeros(len(nd), dtype=np.int64)])
+        kind = np.zeros(len(u), dtype=np.int8)
+        kind[len(src):] = 1
+        shard = (u % num_shards).astype(np.int32)  # src-owner / dst-owner
+        return pa.table({"shard": pa.array(shard), "kind": pa.array(kind),
+                         "u": pa.array(u), "v": pa.array(v)})
+
+    pairs.map_batches(explode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    return {"out_dir": out_dir, "num_shards": num_shards}
+
+
+def pagerank_from_edge_partitions(
+    layout_dir: str, iters: int = 4, num_shards: int = 16,
+    write_dir: str | None = None,
+):
+    """Driver-free PageRank (the scale path promised by :func:`pagerank`):
+    each shard loads its own pre-partitioned slice of the
+    :func:`write_directed_edges` layout; with ``write_dir`` the shards
+    also WRITE their (node, pr) partitions directly (returns the node
+    count), else the assembled node-set-sized rank frame is returned.
+    ``num_shards`` must equal the sink's shard count. Rank-identical to
+    the driver-intake form at any shard count (fixed-point arithmetic)."""
+    shards = [
+        _PageRankShard.remote(s, num_shards, layout_dir=layout_dir)
+        for s in range(num_shards)
+    ]
+    return _run_pr_shards(shards, iters, write_dir=write_dir)
