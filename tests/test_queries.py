@@ -162,6 +162,31 @@ def test_embedding_neardup_dedup_to_parquet_driver_free(tmp_path):
     assert (got["group_id"].to_numpy() == q["group_id"].to_numpy()).all()
 
 
+def test_supplier_pagerank_to_parquet_driver_free(tmp_path):
+    """The driver-free PageRank (distinct-edge sink → self-loading shards
+    → per-shard rank parquet) produces the same rank table as the
+    registered query (which itself runs the same sink; the parity gate vs
+    the unrolled SQL CTEs covers the values)."""
+    import numpy as np
+    import ray.data as rd
+
+    from licenta_crawler_ray.pipelines.relational import (
+        supplier_pagerank, supplier_pagerank_to_parquet,
+    )
+
+    s = supplier_pagerank_to_parquet(SF_DIR, str(tmp_path / "wd"))
+    q = supplier_pagerank(SF_DIR)
+    assert s["nodes"] == len(q)
+    got = (
+        rd.read_parquet(s["ranks_dir"]).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    key = got["node"].to_numpy()
+    assert (np.where(key % 2 == 0, "c", "s") == q["kind"].to_numpy()).all()
+    assert (key // 2 == q["key"].to_numpy()).all()
+    assert (got["pr"].to_numpy() == q["pr"].to_numpy()).all()
+
+
 def test_cc_id_sidecar_per_shard_reads_only(tmp_path):
     """The shard-partitioned id sidecar: layout partitions ids by
     ``id % P``, and the CC shards resolve their node partitions from it

@@ -382,6 +382,55 @@ class TestProperties:
                                    max_rounds=16)
         assert (got["group_id"] == 0).all()
 
+    def test_pagerank_from_edge_partitions_matches_driver_intake(self):
+        """The self-loading sharded form ≡ the driver-intake form, rank
+        for rank, on a random graph with dangling and dst-only nodes —
+        and at two different shard counts (fixed-point invariance)."""
+        import os
+        import shutil
+
+        import pandas as pd
+        import ray.data as rd
+
+        from licenta_crawler_ray.pipelines.graph import (
+            pagerank, pagerank_from_edge_partitions, write_directed_edges)
+
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 400, 3000)
+        dst = rng.integers(0, 500, 3000)  # ids 400-499 are dst-only
+        pairs = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        exp = pagerank(pairs, iters=4, num_shards=4)
+        for P in (3, 8):
+            layout = f"/tmp/lcr_test_pr_layout_{P}"
+            shutil.rmtree(layout, ignore_errors=True)
+            write_directed_edges(rd.from_pandas(pairs), "src", "dst",
+                                 layout, num_shards=P)
+            got = pagerank_from_edge_partitions(layout, iters=4,
+                                                num_shards=P)
+            assert got.equals(exp), P
+            # write_dir form: same ranks leave through the shards
+            ranks = os.path.join(layout, "ranks")
+            n = pagerank_from_edge_partitions(layout, iters=4,
+                                              num_shards=P, write_dir=ranks)
+            assert n == len(exp)
+            import pyarrow.dataset as pads
+            w = pads.dataset(ranks, format="parquet").to_table().to_pandas() \
+                .sort_values("node").reset_index(drop=True)
+            assert w.equals(exp)
+            shutil.rmtree(layout, ignore_errors=True)
+
+    def test_pagerank_update_overflow_guard(self):
+        """The fixed-point update refuses in-mass past the int64 bound
+        instead of wrapping silently (round-4 advice)."""
+        import pytest as _pytest
+
+        from licenta_crawler_ray.pipelines.graph import _pr_apply_update
+
+        ok = _pr_apply_update(np.array([(2**63 - 1) // 85], dtype=np.int64))
+        assert ok[0] > 0
+        with _pytest.raises(OverflowError):
+            _pr_apply_update(np.array([(2**63 - 1) // 85 + 1], dtype=np.int64))
+
     def test_minhash_arrow_tokenization_matches_frozen_spec(self):
         """The Arrow split/hash signature path ≡ the scalar frozen-spec
         ``signature()`` per doc, including whitespace runs, empties, and
@@ -405,6 +454,57 @@ class TestProperties:
             got = mh.signatures_arrow(pa.array(texts, type=pa.string()))
             for i, t in enumerate(texts):
                 assert (got[i] == mh.signature(t)).all(), repr(t)
+
+        check()
+
+    def test_token_hash_lists_arrow_matches_frozen_spec(self):
+        """The Arrow verify-set builder ≡ the scalar frozen-spec fallback
+        (same hash values, same per-doc sorted order, same offsets) —
+        non-ASCII-whitespace docs route the batch through the fallback."""
+        from hypothesis import given, settings, strategies as st
+
+        from licenta_crawler_ray.pipelines.textops import (
+            _token_hash_lists, _token_hash_lists_scalar)
+
+        word = st.text(alphabet="abcdefgé0.,!", min_size=1, max_size=8)
+        sep = st.sampled_from([" ", "  ", "\t", "\n", " \x0b ", " ",
+                               "\x1c", "\xa0", "　"])
+        doc = st.lists(st.tuples(word, sep), max_size=12).map(
+            lambda ps: "".join(w + s for w, s in ps))
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=8))
+        def check(texts):
+            flat_a, offs_a = _token_hash_lists(pa.array(texts, type=pa.string()))
+            flat_s, offs_s = _token_hash_lists_scalar(texts)
+            assert np.array_equal(offs_a, offs_s)
+            assert np.array_equal(flat_a, flat_s)
+
+        check()
+
+    def test_simhash_arrow_matches_frozen_spec(self):
+        """The Arrow SimHasher batch path ≡ the scalar frozen-spec
+        ``simhash()`` per doc (and the scalar batch fallback), including
+        empty docs and non-ASCII whitespace routed through the fallback."""
+        from hypothesis import given, settings, strategies as st
+
+        from licenta_crawler_ray.pipelines.textops import SimHasher
+
+        sh = SimHasher()
+        word = st.text(alphabet="abcdefgé0.,!", min_size=1, max_size=8)
+        sep = st.sampled_from([" ", "  ", "\t", "\n", " \x0b ", " ",
+                               "\x1c", "\xa0", "　"])
+        doc = st.lists(st.tuples(word, sep), max_size=12).map(
+            lambda ps: "".join(w + s for w, s in ps))
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=8))
+        def check(texts):
+            t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+            got = sh(t).column("simhash").to_numpy().view(np.uint64)
+            for i, txt in enumerate(texts):
+                assert int(got[i]) == sh.simhash(txt), repr(txt)
 
         check()
 
