@@ -305,7 +305,8 @@ def write_id_sidecar(
     round-3 verdict's CC finding). Shard math must match
     :class:`_CCShard` / :func:`write_symmetric_edges` — same ``% P``."""
     import pyarrow as pa
-    import ray.data as rd
+
+    from ..io_utils import read_parquet_clean
 
     def explode(t):
         ids = t.column(id_column).to_numpy().astype(np.int64)
@@ -314,7 +315,7 @@ def write_id_sidecar(
             id_column: pa.array(ids),
         })
 
-    rd.read_parquet(corpus_parquet, columns=[id_column]).map_batches(
+    read_parquet_clean(corpus_parquet, columns=[id_column]).map_batches(
         explode, batch_format="pyarrow"
     ).write_parquet(out_dir, partition_cols=["shard"])
     return {"out_dir": out_dir, "num_shards": num_shards,

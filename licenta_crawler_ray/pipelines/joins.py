@@ -98,7 +98,11 @@ def hash_join(
         l = g.filter(lmask).select([key] + lnames).to_pandas()
         r = g.filter(pc.invert(lmask)).select([key] + rnames).to_pandas()
         m = l.merge(r, on=key)
-        return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
+        # from_pandas attaches a b"pandas" schema-metadata blob that makes
+        # the schema unhashable downstream (see io_utils) — strip it here
+        return pa.Table.from_pandas(
+            m, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return tl.union(tr).groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"

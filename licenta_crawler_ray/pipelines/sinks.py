@@ -30,6 +30,8 @@ import shutil
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..io_utils import read_parquet_clean
+
 
 def write_corpus_partitioned(
     sf_dir: str,
@@ -46,7 +48,7 @@ def write_corpus_partitioned(
     """
     src = os.path.join(sf_dir, f"{table}.parquet")
     values = sorted(
-        rd.read_parquet(src, columns=[by]).unique(by)
+        read_parquet_clean(src, columns=[by]).unique(by)
     )
     os.makedirs(out_dir, exist_ok=True)
     written, skipped = [], []
@@ -58,7 +60,7 @@ def write_corpus_partitioned(
         tmp = pdir + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)  # half-written leftovers from a killed run
-        ds = rd.read_parquet(src, filter=pc.field(by) == v)
+        ds = read_parquet_clean(src, filter=pc.field(by) == v)
         ds.write_parquet(tmp)  # streams block-by-block, one file per block
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         if os.path.isdir(pdir):

@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max as RayMax, Min as RayMin, Sum
 
+from ..io_utils import read_parquet_clean
 from .textops import _docs, token_counts_per_doc, tokens_arrow
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
@@ -43,7 +44,8 @@ _MASK32 = 4294967295
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def _knuth_hash(ids: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
@@ -373,8 +375,8 @@ def weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
         return pa.table({"event_id": ids, "value": v, "priority": prio})
 
     cand = (
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                        columns=["event_id", "value"])
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "value"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .to_pandas()
     )

@@ -15,6 +15,8 @@ import os
 import pyarrow as pa
 import ray.data as rd
 
+from ..io_utils import read_parquet_clean
+
 DOCS_SCHEMA = pa.schema([
     pa.field("doc_id", pa.int64()),
     pa.field("text", pa.string()),
@@ -45,7 +47,7 @@ def read_documents(path: str) -> rd.Dataset:
             raise ValueError(f"mixed/unknown extensions in {path}: {sorted(exts)}")
         ext = exts.pop()
     if ext == ".parquet":
-        ds = rd.read_parquet(path)
+        ds = read_parquet_clean(path)
     elif ext in (".jsonl", ".json"):
         ds = rd.read_json(path)
     elif ext == ".csv":
