@@ -32,11 +32,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..io_utils import read_parquet_clean
 from .textops import _pool
 
 
 def _emb(sf_dir: str, columns=None, filter=None) -> rd.Dataset:
-    return rd.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=columns, filter=filter
     )
 
@@ -583,34 +584,63 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
 def embedding_pca(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """Top-``k`` principal-component projection of every embedding.
 
-    Distributed one-pass moment accumulation — the textbook covariance
-    combiner: each batch emits (count, Σx, XᵀX) as ONE row of constant
-    size (D² + D + 1 floats, D = embedding dim), partials pre-merge in
-    ≤64 coarse buckets, and the driver assembles the D×D covariance
-    (tiny at any corpus size), eigendecomposes locally, fixes
-    eigenvector signs deterministically (the largest-|coordinate| entry
-    is made positive) and broadcasts the projection for a second
-    vectorized pass. Rows-only: eigensolves are not SQL-expressible;
-    pytest verifies the projection against a single-process numpy
-    reference."""
+    Distributed one-pass moment accumulation — the PARALLEL-VARIANCE
+    covariance combiner (Chan/Golub/LeVeque pairwise update): each batch
+    emits (count, batch mean, batch-CENTERED scatter M2 = Σ(x-μ_b)(x-μ_b)ᵀ)
+    as ONE row of constant size (D² + D + 1 floats, D = embedding dim);
+    partials fold pairwise in ≤64 coarse buckets and the driver folds the
+    64 bucket rows into the D×D covariance (tiny at any corpus size).
+    Centering each batch at ITS OWN mean makes the combiner SHIFT-STABLE —
+    the naive E[xxᵀ] − μμᵀ form loses precision by cancellation when the
+    data mean is large relative to its variance (round-4 advice); the
+    pairwise merge ``M2 = M2_a + M2_b + δδᵀ·n_a·n_b/n`` is the standard
+    fix. Fold order is pinned (by each partial's smallest vec_id, then
+    bucket) so the result is parallelism-independent. The driver then
+    eigendecomposes locally, fixes eigenvector signs deterministically
+    (the largest-|coordinate| entry is made positive) and broadcasts the
+    projection for a second vectorized pass. Rows-only: eigensolves are
+    not SQL-expressible; pytest verifies the projection against a
+    single-process numpy reference."""
 
     def moments(t: pa.Table) -> pa.Table:
         ids, m = _arrow_matrix(t)
         if len(m) == 0:
             return pa.table({"bucket": pa.array([], pa.int32()),
+                             "lo": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "payload": pa.array([], pa.list_(pa.float64()))})
-        d = m.shape[1]
-        payload = np.concatenate([m.sum(0), (m.T @ m).reshape(-1)])
+        mu = m.mean(0)
+        c = m - mu[None, :]
+        payload = np.concatenate([mu, (c.T @ c).reshape(-1)])
         return pa.table({
             "bucket": pa.array([int(ids[0]) & 63], pa.int32()),
+            "lo": pa.array([int(ids.min())], pa.int64()),
             "n": pa.array([len(m)], pa.int64()),
             "payload": pa.array([payload], pa.list_(pa.float64())),
         })
 
+    def _fold(rows: pd.DataFrame):
+        """Pairwise Chan merge over (n, [mean | M2]) rows, fixed order."""
+        n_tot, mu, m2 = 0, None, None
+        for _, row in rows.iterrows():
+            nb = int(row["n"])
+            pl = np.asarray(row["payload"], dtype=np.float64)
+            d = int((-1 + np.sqrt(1 + 4 * len(pl))) / 2)  # len = d + d²
+            mub, m2b = pl[:d], pl[d:].reshape(d, d)
+            if mu is None:
+                n_tot, mu, m2 = nb, mub, m2b
+                continue
+            delta = mub - mu
+            n_new = n_tot + nb
+            m2 = m2 + m2b + np.outer(delta, delta) * (n_tot * nb / n_new)
+            mu = mu + delta * (nb / n_new)
+            n_tot = n_new
+        return n_tot, mu, m2
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        pl = np.stack(g["payload"].to_numpy()).sum(0)
-        return pd.DataFrame({"n": [int(g["n"].sum())], "payload": [pl]})
+        n, mu, m2 = _fold(g.sort_values("lo"))
+        return pd.DataFrame({"lo": [int(g["lo"].min())], "n": [n],
+                             "payload": [np.concatenate([mu, m2.reshape(-1)])]})
 
     parts = (
         _emb(sf_dir, columns=["vec_id", "embedding"])
@@ -621,12 +651,8 @@ def embedding_pca(sf_dir: str, k: int = 2) -> pd.DataFrame:
     )
     if parts.empty:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
-    n = int(parts["n"].sum())
-    pl = np.stack(parts["payload"].to_numpy()).sum(0)
-    d = int((-1 + np.sqrt(1 + 4 * len(pl))) / 2)  # len = d + d²
-    s, xtx = pl[:d], pl[d:].reshape(d, d)
-    mean = s / n
-    cov = xtx / n - np.outer(mean, mean)
+    n, mean, m2 = _fold(parts.sort_values("lo"))
+    cov = m2 / n
     w, v = np.linalg.eigh(cov)  # ascending
     comps = v[:, ::-1][:, :k].T.copy()  # (k, d), leading first
     for i in range(k):  # deterministic sign

@@ -34,10 +34,12 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from ..functions.urls import fnv1a64, fnv1a64_bytes_np, hash_strings, popcount_u64
+from ..io_utils import read_parquet_clean
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
 
 
 def _pool() -> tuple[int, int]:
@@ -1871,7 +1873,17 @@ def ngram_contamination(sf_dir: str, n: int = _CONTAM_N,
     the same documented trade as :func:`exact_dedup`).
 
     Documents with fewer than ``n`` tokens have no ``n``-gram and are
-    excluded (mirrored in the oracle)."""
+    excluded (mirrored in the oracle).
+
+    Oracle whitespace convention (round-4 advice): the engine tokenizes
+    by the frozen ``str.split()`` spec (Unicode whitespace, via the
+    byte-split kernel's non-ASCII fallback) while the DuckDB oracle
+    splits on RE2 ASCII ``\\s+`` — the shared convention of every token
+    oracle in ``__ray_entry__``. The two agree on ASCII-whitespace
+    corpora (all fixture and testdata corpora are); a doc separating
+    tokens with U+00A0/U+3000 would tokenize differently on the two
+    sides. Engine-side correctness for such docs is pinned by the
+    tokenizer property tests instead."""
     P = np.uint64(0x100000001B3)
 
     def gram_rows(t: pa.Table) -> pa.Table:

@@ -662,3 +662,31 @@ class TestEmbeddingPCA:
         assert got["vec_id"].to_numpy().tolist() == ids.tolist()
         np.testing.assert_allclose(
             got[["pc0", "pc1"]].to_numpy(), ref, rtol=1e-8, atol=1e-8)
+
+    def test_shift_stable_on_uncentered_data(self, tmp_path):
+        """The Chan pairwise combiner keeps precision when the data mean
+        dwarfs the variance (round-4 advice: the naive E[xxT] − μμT form
+        cancels catastrophically there): projections on data shifted by
+        1e6 must match the unshifted projections."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from licenta_crawler_ray.pipelines.similarity import embedding_pca
+
+        rng = np.random.default_rng(9)
+        n, d = 400, 8
+        base = rng.normal(0, 1e-3, size=(n, d))  # tiny variance
+        for name, shift in (("plain", 0.0), ("shifted", 1e6)):
+            m = base + shift
+            t = pa.table({
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            })
+            out = tmp_path / name
+            out.mkdir()
+            pq.write_table(t, str(out / "embeddings.parquet"))
+        plain = embedding_pca(str(tmp_path / "plain"), k=2)
+        shifted = embedding_pca(str(tmp_path / "shifted"), k=2)
+        np.testing.assert_allclose(
+            shifted[["pc0", "pc1"]].to_numpy(),
+            plain[["pc0", "pc1"]].to_numpy(), rtol=1e-5, atol=1e-9)
