@@ -53,16 +53,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": rel.events_asof_orders,  # as-of join
         "events_sliding_window": rel.events_sliding_window,  # RANGE-frame window
         "events_with_gap": rel.events_with_gap,  # LAG offset window
+        "user_running_value": rel.user_running_value,  # ROWS-frame running total
         "order_window_shipments": rel.order_window_shipments,  # interval/band join, no equality key
         "inactive_customers": rel.inactive_customers,  # partitioned anti join
         "returned_orders": rel.returned_orders,  # Bloom-pruned semi join
         "customer_order_profile": rel.customer_order_profile,  # grouped LEFT OUTER join
+        "nation_balance": rel.nation_balance,  # grouped FULL OUTER join
         "pricing_rollup": rel.pricing_rollup,  # GROUP BY ROLLUP multi-level aggregate
         "supplier_pagerank": rel.supplier_pagerank,  # fixed-point integer PageRank on actor shards
         "user_value_median": rel.user_value_median,  # per-key exact quantile
         "part_brand_stats": rel.part_brand_stats,
         "order_priority_count": rel.order_priority_count,
         "distinct_segments": rel.distinct_segments,
+        "supplier_distinct_parts": rel.supplier_distinct_parts,  # grouped exact COUNT(DISTINCT)
         # --- text analysis
         "lang_hist": tx.lang_hist,
         "lang_id": tx.lang_id,
@@ -520,6 +523,37 @@ def oracle_sql() -> dict[str, str]:
         "user_value_median": """
             SELECT user_id, quantile_disc(value, 0.5) AS median_value
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "user_running_value": """
+            SELECT event_id,
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS running_cents
+            FROM events ORDER BY event_id
+        """,
+        "nation_balance": """
+            WITH s AS (
+              SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+                     CAST(sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT))
+                         AS BIGINT) AS supp_bal_cents
+              FROM supplier GROUP BY 1),
+            c AS (
+              SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+                     CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT))
+                         AS BIGINT) AS cust_bal_cents
+              FROM customer GROUP BY 1)
+            SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+                   COALESCE(n_suppliers, 0) AS n_suppliers,
+                   COALESCE(supp_bal_cents, 0) AS supp_bal_cents,
+                   COALESCE(n_customers, 0) AS n_customers,
+                   COALESCE(cust_bal_cents, 0) AS cust_bal_cents
+            FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+            ORDER BY nationkey
+        """,
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "value_quantiles_exact": """
             WITH t AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c

@@ -35,11 +35,14 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
+from ..io_utils import read_parquet_clean
+
 _PARTIAL_BATCH = 65536  # large partial-agg batches → fewer shuffle rows
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -109,7 +112,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     # only the k winning keys leave the customer dim: the parquet row filter
     # prunes row groups at the read — never the whole dimension to the driver
     keys = out["o_custkey"].astype("int64").tolist()
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"],
         filter=pc.field("c_custkey").isin(keys),
@@ -208,7 +211,7 @@ def order_priority_count(sf_dir: str) -> pd.DataFrame:
     """Filter (row-group pushdown at the read) → count by priority."""
     lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderpriority", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
@@ -549,7 +552,7 @@ def inactive_customers(sf_dir: str) -> pd.DataFrame:
             "c_name": pa.nulls(len(u), pa.string()),
         })
 
-    ords = rd.read_parquet(
+    ords = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") >= cut,
@@ -857,7 +860,7 @@ def returned_orders(sf_dir: str) -> pd.DataFrame:
     EXACT regardless of filter sizing. The build side is streamed twice
     (filter build + verify keys) — both passes are column-pruned,
     filter-at-read scans, each smaller than shuffling unpruned orders."""
-    build = rd.read_parquet(
+    build = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey"],
         filter=pc.field("l_returnflag") == "R",
@@ -1137,3 +1140,122 @@ def order_window_shipments(sf_dir: str, days: int = 30,
         .to_pandas()
     )
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame running total: each event's cumulative value (in exact
+    integer cents) over the SAME user's events so far — the
+    unbounded-preceding ROWS window next to the RANGE frame
+    (:func:`events_sliding_window`) and the LAG offset
+    (:func:`events_with_gap`).
+
+    Same coarse user-bucket co-partition as every per-user window op;
+    inside a bucket the running sum is one mergesort + a vectorized
+    pandas groupby-cumsum — never a per-user Python call. Order inside a
+    user is (ts, event_id), the frozen tie-break shared with the sibling
+    window ops and the SQL oracle; cents arithmetic keeps the partial
+    sums exact and hash-comparable."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        run = g.assign(c=cents).groupby("user_id")["c"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "running_cents": run.astype("int64"),
+        })
+
+    out = (
+        _pq(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(_bucket_users, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def nation_balance(sf_dir: str) -> pd.DataFrame:
+    """Grouped FULL OUTER join: per-nation supplier aggregates ⟗
+    per-nation customer aggregates — nations with only one side present
+    keep their row with the other side zero-filled (the outer-join
+    flavor missing from the left/semi/anti family).
+
+    Scale shape: each side pre-aggregates per batch (Arrow ``group_by``
+    combiner) and reduces in one nation-keyed ``groupby`` — the shuffle
+    carries ≤ |nations| rows per batch, never raw rows; the FULL OUTER
+    merge itself runs on two nation-cardinality aggregate tables (25
+    rows each), which is exactly where an outer join belongs at scale
+    (joining the RAW tables outer-style would shuffle everything to
+    produce the same 25 rows). Cents arithmetic keeps sums exact."""
+
+    def side(table: str, key: str, bal: str, cnt: str, cents: str):
+        def partial(t: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(
+                t[bal].cast(pa.float64()), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64())
+            g = (t.select([key]).append_column("c", c)
+                 .group_by(key).aggregate([("c", "sum"), ("c", "count")]))
+            return g.rename_columns(["nationkey", cents, cnt])
+
+        out = (
+            _pq(sf_dir, table, columns=[key, bal])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=_PARTIAL_BATCH)
+            .groupby("nationkey")
+            .aggregate(Sum(cents, alias_name=cents), Sum(cnt, alias_name=cnt))
+            .to_pandas()
+        )
+        return out
+
+    s = side("supplier", "s_nationkey", "s_acctbal",
+             "n_suppliers", "supp_bal_cents")
+    c = side("customer", "c_nationkey", "c_acctbal",
+             "n_customers", "cust_bal_cents")
+    out = s.merge(c, on="nationkey", how="outer")
+    for col in ("n_suppliers", "supp_bal_cents", "n_customers",
+                "cust_bal_cents"):
+        out[col] = out[col].fillna(0).astype("int64")
+    out["nationkey"] = out["nationkey"].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)[
+        ["nationkey", "n_suppliers", "supp_bal_cents",
+         "n_customers", "cust_bal_cents"]]
+
+
+def supplier_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact COUNT(DISTINCT): distinct parts supplied per
+    supplier — the per-key flavor of :func:`distinct_order_count` (a
+    classic shuffle-heavy op: the pairs must co-locate per key before
+    they can be deduped).
+
+    Scale shape: per batch, a (suppkey, partkey) Arrow ``group_by``
+    combiner collapses duplicates BEFORE the shuffle (per-batch output ≤
+    distinct pairs, not rows); pairs then co-partition by supplier into
+    coarse hash buckets — the same supplier always lands in the same
+    bucket, so bucket-local dedup is globally exact — and each bucket
+    dedups + counts in one vectorized pass. The shuffle volume is the
+    distinct-pair count, the irreducible minimum for an exact answer."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = (t.select(["l_suppkey", "l_partkey"])
+             .group_by(["l_suppkey", "l_partkey"]).aggregate([]))
+        b = pc.cast(pc.bit_wise_and(e["l_suppkey"].cast(pa.int64()),
+                                    pa.scalar(63, pa.int64())), pa.int32())
+        return e.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["l_suppkey", "l_partkey"])
+        c = u.groupby("l_suppkey", as_index=False).size()
+        return c.rename(columns={"size": "n_parts"})
+
+    out = (
+        _pq(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"l_suppkey": "int64", "n_parts": "int64"})
+    return out.sort_values("l_suppkey").reset_index(drop=True)

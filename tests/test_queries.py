@@ -29,23 +29,21 @@ def entry_mod():
     return e
 
 
-SQL_CHECKED = [
-    "pricing_summary", "top_customers", "supplier_stats", "events_hourly",
-    "user_sessions", "top_events_per_user", "priority_revenue",
-    "part_brand_stats", "order_priority_count", "distinct_segments",
-    "lang_hist", "lang_id", "token_counts", "quality_scores",
-    "exact_dedup", "normalized_dedup", "ngram_contamination",
-    "ngram_jaccard_pairs", "embedding_knn",
-    "embedding_neardup_pairs", "neardup_dedup", "token_hist",
-    "top_terms_per_lang", "distinctive_terms", "quality_filter", "corpus_split",
-    "events_asof_orders", "events_sliding_window", "events_with_gap",
-    "order_window_shipments",
-    "inactive_customers", "returned_orders", "customer_order_profile",
-    "pricing_rollup", "supplier_pagerank", "user_value_median",
-    "token_quantiles", "value_quantiles_exact",
-    "heavy_tokens", "distinct_order_count", "corpus_sample",
-    "reservoir_sample", "stratified_sample", "weighted_sample",
-]
+# Derived, not hand-listed: every oracle_sql() entry is gated — a new
+# SQL-checked query can't be silently left out of the in-repo driver
+# mimic (the round-4 coverage gap was exactly a stale hand-kept list).
+import __ray_entry__ as _entry
+
+SQL_CHECKED = sorted(_entry.oracle_sql().keys())
+
+
+def test_every_sql_checked_query_in_driver_window(entry_mod):
+    """The driver records only the FIRST 50 queries() entries; every
+    oracle_sql() key must sit inside that window or its green row is
+    silently dropped from CORRECTNESS_r{N}.json."""
+    first50 = set(list(entry_mod.queries())[:50])
+    missing = set(entry_mod.oracle_sql()) - first50
+    assert not missing, f"oracle-checked queries outside the first 50: {missing}"
 
 
 def test_neardup_dedup_minhash_matches_exact():
@@ -437,9 +435,11 @@ def test_partitioned_sink_resume(tmp_path):
 
 
 def test_multimodal_real_format_raises():
-    """Formats that STILL need a library raise: PNG images, non-PCM WAV,
-    compressed BMP, and all real video (BMP/PCM-WAV decode for real now)."""
+    """Formats that STILL need a library raise: interlaced/palette PNG,
+    non-PCM WAV, compressed BMP, and all real video (BMP, PCM WAV and
+    8-bit gray/RGB PNG decode for real now)."""
     import struct
+    import zlib
 
     import pyarrow as pa
 
@@ -451,8 +451,17 @@ def test_multimodal_real_format_raises():
         return pa.Table.from_pylist([{"media_id": 0, "media_type": "image",
                                       "payload": payload, "meta": "{}"}])
 
+    def png_chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # Adam7-interlaced grayscale PNG: valid container, undecodable stdlib-only
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    interlaced = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                  + png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+                  + png_chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        ImageDecode()(img(b"\x89PNG\r\n\x1a\n...."))
+        ImageDecode()(img(interlaced))
     # BMP with RLE8 compression (biCompression=1) is not decodable stdlib-only
     hdr = (b"BM" + struct.pack("<IHHI", 200, 0, 0, 54)
            + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 64, 0, 0, 0, 0))
@@ -500,6 +509,68 @@ def test_multimodal_bmp_wav_real_decode():
     assert aout.column("n_frames")[0].as_py() == 1000
     got = np.frombuffer(aout.column("sampled_frames")[0].as_py(), dtype="<i2")
     assert (got == samples[::100]).all()
+
+
+def test_multimodal_png_real_decode():
+    """Stdlib-encoded PNG round-trips through the real decode path (gray
+    AND RGB), and a hand-filtered PNG exercising ALL FIVE scanline
+    filters reconstructs the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from licenta_crawler_ray.stages.multimodal import (
+        ImageDecode, _decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((9, 7), (6, 5, 3)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        batch = pa.Table.from_pylist([{"media_id": 1, "media_type": "image",
+                                       "payload": encode_png(px), "meta": "{}"}])
+        out = ImageDecode()(batch)
+        assert out.column("width")[0].as_py() == shape[1]
+        assert out.column("height")[0].as_py() == shape[0]
+        assert out.column("mean_pixel")[0].as_py() == round(float(px.mean()), 4)
+
+    # all five filters, RGB (bpp=3): filter each recon row per the spec's
+    # inverse, decode, and demand the exact original mean back
+    h, w, bpp = 5, 4, 3
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+    raw = b""
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        f = r % 5
+        rec = px[r]
+        filt = np.zeros(w * bpp, dtype=np.uint8)
+        for x in range(w * bpp):
+            left = int(rec[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[f]
+            filt[x] = (int(rec[x]) - pred) & 0xFF
+        raw += bytes([f]) + filt.tobytes()
+        prev = rec
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    gw, gh, gmean = _decode_png(payload)
+    assert (gw, gh) == (w, h)
+    assert gmean == float(px.mean())
 
 
 # ---------------------------------------------------------------------------
