@@ -15,7 +15,16 @@ protocol to the OTHER corpus-scale families the round-3 verdict named:
   lineitems x 250k orders (~10^10 logical pairs, never materialized);
 - ``ngram_contamination`` (round-4 repeated-5-gram signal) over the same
   1M-doc corpus — the planted Zipf head guarantees real cross-document
-  gram sharing at every scale.
+  gram sharing at every scale;
+- ``supplier_pagerank_to_parquet`` (round-5: the driver-free PageRank —
+  8M-row hash join → distinct-edge shard sink → self-loading shards →
+  per-shard rank parquet) over ~8M lineitems x 2M orders (~8M distinct
+  customer→supplier edges, 320k nodes);
+- ``neardup_admit_incremental`` (round-5: incremental dedup of a 20% new
+  batch against the persisted 80%-corpus band index) over the dup-planted
+  1M-doc corpus shared with scale_probe.py — the split + index build are
+  cached setup (the operator's semantics: the index EXISTS), the timed
+  path is signatures-for-new + ONE band co-group + grid verify + CC.
 
 Protocol (same as bench.py --scaling / scale_probe.py): each CPU level
 runs in a FRESH process (subprocess self-invocation), one untimed sf0.001
@@ -54,7 +63,8 @@ def build_corpus() -> str:
     meta = os.path.join(PROBE_DIR, "probe_meta.json")
     want = {"n": N_DOCS, "common": COMMON_VOCAB, "rare": RARE_VOCAB,
             "cpd": COMMON_PER_DOC, "rpd": RARE_PER_DOC,
-            "items": N_ITEMS, "orders": N_ORDERS, "sharded": 32}
+            "items": N_ITEMS, "orders": N_ORDERS, "sharded": 32,
+            "graph_cols": True}  # round-5: l_orderkey/l_suppkey/o_custkey
     if os.path.exists(meta) and json.load(open(meta)) == want:
         return PROBE_DIR
     shutil.rmtree(PROBE_DIR, ignore_errors=True)  # stale layout/params
@@ -104,7 +114,12 @@ def build_corpus() -> str:
                            os.path.join(d, f"part-{part:04d}.parquet"),
                            row_group_size=65536)
 
+    # graph columns (round-5 pagerank probe): ~8M lineitems over 2M orders
+    # and 20k suppliers; orders map to 300k customers — ~8M distinct
+    # customer→supplier edges after the distinct co-partition
     _write_parts("lineitem.parquet", N_ITEMS, 32, lambda lo, n: pa.table({
+        "l_orderkey": pa.array(rng.integers(0, N_ORDERS, n).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, 20_000, n).astype(np.int64)),
         "l_shipdate": pa.array(
             (base + rng.integers(0, span_us, size=n)).astype("datetime64[us]")),
         "l_extendedprice": pa.array(rng.uniform(10, 1000, n).round(2)),
@@ -112,6 +127,7 @@ def build_corpus() -> str:
     }))
     _write_parts("orders.parquet", N_ORDERS, 16, lambda lo, n: pa.table({
         "o_orderkey": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 300_000, n).astype(np.int64)),
         "o_orderdate": pa.array(
             (base + rng.integers(0, span_us, size=n)).astype("datetime64[us]")),
     }))
@@ -156,15 +172,25 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
 
     import shutil
 
-    from licenta_crawler_ray.pipelines.relational import order_window_shipments
+    from licenta_crawler_ray.pipelines.relational import (
+        order_window_shipments, supplier_pagerank_to_parquet,
+    )
     from licenta_crawler_ray.pipelines.sketches import (
         heavy_tokens, heavy_tokens_sketch,
     )
     from licenta_crawler_ray.pipelines.textops import (
-        distinctive_terms_to_parquet, ngram_contamination_to_parquet,
+        distinctive_terms_to_parquet, neardup_admit_incremental,
+        ngram_contamination_to_parquet,
     )
 
     sf = build_corpus()
+    import scale_probe
+
+    # pin the dup corpus to THIS probe's size (scale_probe defaults to
+    # 100k when LCR_PROBE_DOCS is unset; the families probe wants 1M)
+    scale_probe.N_DOCS = N_DOCS
+    scale_probe.PROBE_DIR = f"/tmp/lcr_scale_probe_{N_DOCS}"
+    dup_sf = scale_probe.build_corpus()  # dup-planted corpus (cached)
     warm = "/root/testdata/sf0.001"
     out: dict = {"cpus": num_cpus}
 
@@ -183,12 +209,27 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
         shutil.rmtree(o, ignore_errors=True)
         return distinctive_terms_to_parquet(d, o)["rows"]
 
+    def pr_sink(d):
+        o = os.path.join(PROBE_DIR, f"pr_out_{num_cpus}")
+        shutil.rmtree(o, ignore_errors=True)
+        return supplier_pagerank_to_parquet(d, o)["nodes"]
+
+    def incr(_):
+        # timed input is the DUP-PLANTED corpus; the 80/20 split and the
+        # band index are cached setup under /tmp/lcr_incr_* (built by the
+        # untimed first call below), so the timed path is the operator
+        # itself: new-batch signatures + band co-group vs index + verify
+        # + incremental CC admit decisions
+        return len(neardup_admit_incremental(dup_sf))
+
     ops = [
         ("heavy_tokens", lambda d: len(heavy_tokens(d))),
         ("heavy_tokens_sketch", lambda d: len(heavy_tokens_sketch(d))),
         ("distinctive_terms_to_parquet", dt_sink),
         ("order_window_shipments", lambda d: len(order_window_shipments(d))),
         ("ngram_contamination", lambda d: nc_sink(d)),
+        ("supplier_pagerank_to_parquet", pr_sink),
+        ("neardup_admit_incremental", incr),
     ]
     only = os.environ.get("LCR_PROBE_OPS")
     if only:  # targeted rerun of a subset (co-tenancy-window control)
@@ -236,7 +277,8 @@ def main() -> None:
     summary = {"docs": N_DOCS, "items": N_ITEMS, "orders": N_ORDERS, "ops": {}}
     op_names = ("heavy_tokens", "heavy_tokens_sketch",
                 "distinctive_terms_to_parquet", "order_window_shipments",
-                "ngram_contamination")
+                "ngram_contamination", "supplier_pagerank_to_parquet",
+                "neardup_admit_incremental")
     if os.environ.get("LCR_PROBE_OPS"):
         op_names = tuple(os.environ["LCR_PROBE_OPS"].split(","))
     for name in op_names:
