@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "events_asof_orders", "events_sliding_window", "events_with_gap",
     "order_window_shipments",
     "inactive_customers", "returned_orders", "customer_order_profile",
+    "nation_balance", "supplier_distinct_parts", "user_running_value",
     "pricing_rollup", "supplier_pagerank", "user_value_median",
     "embedding_kmeans", "embedding_pca",
     "token_quantiles", "heavy_tokens", "heavy_tokens_sketch",
