@@ -486,6 +486,17 @@ class _PageRankShard:
                 continue
             v, c = m
             s[np.searchsorted(self.nodes, v)] += c
+            # the accumulation itself can wrap before _pr_apply_update's
+            # bound check runs; each message partial is < 2^63, so a wrap
+            # after ONE add is always negative — checking per message
+            # keeps the running true sum < 2^64 and the detection exact
+            # (review finding: the end-only check missed in-mass past
+            # ~9.2e18). Per-shard push partials are bounded by the same
+            # invariant: every contrib ≤ a valid (< bound) rank.
+            if len(s) and int(s.min()) < 0:
+                raise OverflowError(
+                    "PageRank in-mass accumulation wrapped int64; lower "
+                    "_PR_BASE or pre-aggregate the hot node's in-edges")
         self.rank = _pr_apply_update(s)
 
     def result(self) -> tuple:

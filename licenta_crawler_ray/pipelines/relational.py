@@ -802,8 +802,10 @@ def _supplier_pagerank_ranks(sf_dir: str, iters: int,
         return pagerank_from_edge_partitions(
             layout, iters=iters, num_shards=num_shards, write_dir=ranks_dir)
     finally:
-        if own:
-            shutil.rmtree(workdir, ignore_errors=True)
+        # the layout is an edge-set-sized INTERNAL intermediate, fully
+        # consumed by the shards — never leave it in a caller's workdir
+        # (review finding); ranks_dir is the deliverable and stays
+        shutil.rmtree(workdir if own else layout, ignore_errors=True)
 
 
 def supplier_pagerank_to_parquet(

@@ -384,13 +384,25 @@ def _token_hash_lists(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np
     if len(start_pos) == 0:
         return np.empty(0, dtype=np.int64), np.zeros(n + 1, dtype=np.int64)
     h = fnv1a64_bytes_np(span, starts=start_pos, lengths=tok_len).view(np.int64)
+    flat, _counts, offs = _per_doc_unique(h, tok_doc, n)
+    return flat, offs
+
+
+def _per_doc_unique(h: np.ndarray, tok_doc: np.ndarray, n: int):
+    """Per-doc sorted-unique values over contiguous doc segments (tokens
+    arrive in document order from the byte splitter): ``np.unique`` per
+    segment, no global lexsort. Returns (flat uniques, per-doc counts,
+    offsets[n+1]). Shared by the verify-set builder and the SimHash
+    signature kernel (review finding: the block was duplicated)."""
     cnt = np.bincount(tok_doc, minlength=n)
     oi = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(cnt, out=oi[1:])
     parts = [np.unique(h[oi[i]: oi[i + 1]]) for i in range(n)]
+    counts = np.asarray([len(p) for p in parts], dtype=np.int64)
     offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.asarray([len(p) for p in parts], dtype=np.int64), out=offs[1:])
-    return (np.concatenate(parts) if parts else np.empty(0, np.int64)), offs
+    np.cumsum(counts, out=offs[1:])
+    flat = np.concatenate(parts) if parts else np.empty(0, h.dtype)
+    return flat, counts, offs
 
 
 def _sets_wide(docs: rd.Dataset | str, participants_ref=None) -> rd.Dataset:
@@ -1642,14 +1654,7 @@ class SimHasher:
         if len(start_pos) == 0:
             return np.zeros(n, dtype=np.uint64)
         h = fnv1a64_bytes_np(span, starts=start_pos, lengths=tok_len)
-        cnt = np.bincount(tok_doc, minlength=n)
-        oi = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cnt, out=oi[1:])
-        parts = [np.unique(h[oi[i]: oi[i + 1]]) for i in range(n)]
-        cu = np.asarray([len(p) for p in parts], dtype=np.int64)
-        hu = np.concatenate(parts)
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cu, out=offs[1:])
+        hu, cu, offs = _per_doc_unique(h, tok_doc, n)
         shifts = np.arange(64, dtype=np.uint64)
         setbits = np.empty((n, 64), dtype=np.int64)
         C = 8
