@@ -34,10 +34,13 @@ DUP_RATE = 0.05
 
 
 def build_corpus() -> str:
+    import shutil
+
     os.makedirs(PROBE_DIR, exist_ok=True)
     path = os.path.join(PROBE_DIR, "documents.parquet")
     meta = os.path.join(PROBE_DIR, "probe_meta.json")
-    want = {"n": N_DOCS, "vocab": VOCAB, "len": DOC_LEN, "dup": DUP_RATE}
+    want = {"n": N_DOCS, "vocab": VOCAB, "len": DOC_LEN, "dup": DUP_RATE,
+            "sharded": 32}
     if os.path.exists(meta) and json.load(open(meta)) == want:
         return PROBE_DIR
     rng = np.random.default_rng(20260817)
@@ -55,12 +58,25 @@ def build_corpus() -> str:
             w[rng.integers(0, DOC_LEN)] = rng.integers(0, VOCAB)
         texts.append(" ".join(vocab[w]))
     order = rng.permutation(N_DOCS)
-    t = pa.table({
-        "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64)),
-        "text": pa.array([texts[i] for i in order], type=pa.string()),
-        "lang": pa.array(["en"] * N_DOCS),
-    })
-    pq.write_table(t, path, row_group_size=8192)
+    # 32 part files, not one: Ray's map parallelism is ~one task per read
+    # block and one parquet file ≈ one block, so a monolithic corpus caps
+    # the fused read→signature stage at ~1-way regardless of CPUs (the
+    # probe-corpus sharding trap documented in BASELINE round 4; the ops
+    # probe writes parts for the same reason).
+    if os.path.isfile(path):  # pre-round-5 layout: one monolithic file
+        os.unlink(path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    chunk = (N_DOCS + 31) // 32
+    for part, lo in enumerate(range(0, N_DOCS, chunk)):
+        sel = order[lo: lo + chunk]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(lo, lo + len(sel), dtype=np.int64)),
+            "text": pa.array([texts[i] for i in sel], type=pa.string()),
+            "lang": pa.array(["en"] * len(sel)),
+        })
+        pq.write_table(t, os.path.join(path, f"part-{part:04d}.parquet"),
+                       row_group_size=8192)
     json.dump(want, open(meta, "w"))
     return PROBE_DIR
 

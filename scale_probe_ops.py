@@ -271,9 +271,15 @@ def main() -> None:
         args = [sys.executable, os.path.abspath(__file__), "--level", str(n)]
         if ab:
             args.append("--ab")
-        out = subprocess.run(args, capture_output=True, text=True,
-                             check=True).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run(args, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # a dead child (transient co-tenant OOM has happened) must not
+            # silently discard its stderr OR the other level's results
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"level-{n} child failed (see stderr above)")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        # persist each level as it lands — a later-level failure keeps it
+        json.dump(results[n], open(f"/tmp/lcr_ops_level_{n}.json", "w"))
     summary = {"docs": N_DOCS, "items": N_ITEMS, "orders": N_ORDERS, "ops": {}}
     op_names = ("heavy_tokens", "heavy_tokens_sketch",
                 "distinctive_terms_to_parquet", "order_window_shipments",
