@@ -737,15 +737,39 @@ def supplier_pagerank(sf_dir: str, iters: int = _PR_ITERS,
     })
 
 
-def _supplier_pagerank_edges(sf_dir: str):
-    """The DISTINCT namespaced edge Dataset (src=2·cust, dst=2·supp+1)."""
-    from .joins import hash_join
+# Broadcast cap for the orders side of the PageRank edge build: 8M rows
+# of two int64 columns ≈ 128 MB — ONE ray.put, read once per probe actor.
+# Above the cap the dim no longer fits a worker heap comfortably and the
+# build falls back to the partitioned hash_join shuffle form.
+_PR_ORDERS_BCAST_CAP = 8_000_000
 
-    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
-        .map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"],
-                                         "l_suppkey": t["l_suppkey"]}),
-                     batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+
+def _pair_bucket(e: pa.Table) -> pa.Table:
+    """Append the 64-way pair-hash co-partition key for exact distinct."""
+    b = pc.cast(
+        pc.bit_wise_and(
+            pc.bit_wise_xor(pc.multiply(e["src"], pa.scalar(2654435761, pa.int64())),
+                            e["dst"]),
+            pa.scalar(63, pa.int64())),
+        pa.int32())
+    return e.append_column("bucket", b)
+
+
+def _supplier_pagerank_edges(sf_dir: str):
+    """The DISTINCT namespaced edge Dataset (src=2·cust, dst=2·supp+1).
+
+    Two builds, identical output. Below ``_PR_ORDERS_BCAST_CAP`` the
+    orders side broadcasts once as a sorted (o_orderkey → o_custkey)
+    int64 pair via ``ray.put`` and the lineitem scan probes it with a
+    vectorized ``searchsorted`` inside an actor pool — the l_orderkey
+    equi-join costs NO shuffle, and only the per-batch-distinct'd edge
+    stream moves into the 64-bucket exact distinct. (The round-5 probe
+    matrix showed the join's sort shuffle dominating this operator's
+    wall — eff 0.30@1M/0.50@2M, the one-box DRAM-bandwidth signature;
+    removing the shuffle removes the ceiling.) Above the cap: the
+    reusable partitioned :func:`~.joins.hash_join` form."""
     ods = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_orders = ods.count()  # parquet-metadata count on a fresh read
 
     def edge_rows(t: pa.Table) -> pa.Table:
         src = pc.multiply(t["o_custkey"].cast(pa.int64()), pa.scalar(2, pa.int64()))
@@ -754,24 +778,63 @@ def _supplier_pagerank_edges(sf_dir: str):
         e = pa.table({"src": src, "dst": dst})
         # per-batch distinct (combiner before the co-partition)
         e = e.group_by(["src", "dst"]).aggregate([])
-        b = pc.cast(
-            pc.bit_wise_and(
-                pc.bit_wise_xor(pc.multiply(e["src"], pa.scalar(2654435761, pa.int64())),
-                                e["dst"]),
-                pa.scalar(63, pa.int64())),
-            pa.int32())
-        return e.append_column("bucket", b)
+        return _pair_bucket(e)
 
     def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
 
-    return (
-        hash_join(li, ods, key="o_orderkey")
-        .map_batches(edge_rows, batch_format="pyarrow",
-                     batch_size=_PARTIAL_BATCH)
-        .groupby("bucket")
-        .map_groups(distinct_bucket, batch_format="pandas")
-    )
+    if n_orders <= _PR_ORDERS_BCAST_CAP:
+        ot = pa.concat_tables(ray.get(ods.to_arrow_refs()))
+        ok = np.asarray(ot["o_orderkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ck = np.asarray(ot["o_custkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        srt = np.argsort(ok, kind="stable")
+        lookup_ref = ray.put({"ok": ok[srt], "ck": ck[srt]})
+
+        class EdgeProbe:
+            def __init__(self):
+                lk = ray.get(lookup_ref)  # once per actor; zero-copy views
+                self.ok, self.ck = lk["ok"], lk["ck"]
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                empty = pa.table({"src": pa.array([], pa.int64()),
+                                  "dst": pa.array([], pa.int64()),
+                                  "bucket": pa.array([], pa.int32())})
+                if self.ok.size == 0 or t.num_rows == 0:
+                    return empty
+                lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                                dtype=np.int64)
+                sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                                dtype=np.int64)
+                pos = np.searchsorted(self.ok, lo)
+                np.minimum(pos, self.ok.size - 1, out=pos)
+                hit = self.ok[pos] == lo  # inner-join semantics ≡ hash_join
+                if not hit.any():
+                    return empty
+                e = pa.table({
+                    "src": pa.array(self.ck[pos[hit]] * 2, type=pa.int64()),
+                    "dst": pa.array(sk[hit] * 2 + 1, type=pa.int64()),
+                })
+                e = e.group_by(["src", "dst"]).aggregate([])
+                return _pair_bucket(e)
+
+        joined = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+            .map_batches(EdgeProbe, batch_format="pyarrow",
+                         batch_size=_PARTIAL_BATCH, concurrency=(1, 8))
+    else:
+        from .joins import hash_join
+
+        li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+            .map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                                             "l_suppkey": t["l_suppkey"]}),
+                         batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+        joined = hash_join(li, ods, key="o_orderkey") \
+            .map_batches(edge_rows, batch_format="pyarrow",
+                         batch_size=_PARTIAL_BATCH)
+
+    return joined.groupby("bucket").map_groups(distinct_bucket,
+                                               batch_format="pandas")
 
 
 def _supplier_pagerank_ranks(sf_dir: str, iters: int,

@@ -185,6 +185,27 @@ def test_supplier_pagerank_to_parquet_driver_free(tmp_path):
     assert (got["pr"].to_numpy() == q["pr"].to_numpy()).all()
 
 
+def test_pagerank_edge_build_broadcast_matches_shuffle():
+    """The broadcast searchsorted edge build (orders ≤ cap) emits exactly
+    the distinct edge set of the partitioned hash_join fallback — same
+    pairs, inner-join semantics included."""
+    import licenta_crawler_ray.pipelines.relational as rel
+
+    def edges():
+        return (rel._supplier_pagerank_edges(SF_DIR).to_pandas()
+                .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    bcast = edges()
+    cap = rel._PR_ORDERS_BCAST_CAP
+    rel._PR_ORDERS_BCAST_CAP = 0  # force the shuffle fallback
+    try:
+        shuf = edges()
+    finally:
+        rel._PR_ORDERS_BCAST_CAP = cap
+    assert bcast.equals(shuf)
+    assert len(bcast) == bcast.drop_duplicates(["src", "dst"]).shape[0]
+
+
 def test_cc_id_sidecar_per_shard_reads_only(tmp_path):
     """The shard-partitioned id sidecar: layout partitions ids by
     ``id % P``, and the CC shards resolve their node partitions from it
