@@ -712,9 +712,12 @@ def supplier_pagerank(sf_dir: str, iters: int = _PR_ITERS,
     customer→supplier purchase graph (an edge per DISTINCT (customer,
     supplier) pair observed in orders⋈lineitem).
 
-    Scale shape: the edge build is the reusable partitioned
-    :func:`~licenta_crawler_ray.pipelines.joins.hash_join` (one shuffle)
-    followed by ONE pair-hash co-partition for exact distinct-ing; the
+    Scale shape: the edge build broadcasts the orders side and probes it
+    per lineitem batch (no join shuffle) while orders fits a worker heap,
+    falling back to the reusable partitioned
+    :func:`~licenta_crawler_ray.pipelines.joins.hash_join` above the cap
+    (see :func:`_supplier_pagerank_edges`), followed by ONE pair-hash
+    co-partition for exact distinct-ing; the
     distinct stream then SINKS to the shard-partitioned directed-edge
     layout (``graph.write_directed_edges`` — a worker-side streaming
     write, the edge set never passes through the driver; the round-4
@@ -792,36 +795,36 @@ def _supplier_pagerank_edges(sf_dir: str):
         srt = np.argsort(ok, kind="stable")
         lookup_ref = ray.put({"ok": ok[srt], "ck": ck[srt]})
 
-        class EdgeProbe:
-            def __init__(self):
-                lk = ray.get(lookup_ref)  # once per actor; zero-copy views
-                self.ok, self.ck = lk["ok"], lk["ck"]
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                empty = pa.table({"src": pa.array([], pa.int64()),
-                                  "dst": pa.array([], pa.int64()),
-                                  "bucket": pa.array([], pa.int32())})
-                if self.ok.size == 0 or t.num_rows == 0:
-                    return empty
-                lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
-                                dtype=np.int64)
-                sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
-                                dtype=np.int64)
-                pos = np.searchsorted(self.ok, lo)
-                np.minimum(pos, self.ok.size - 1, out=pos)
-                hit = self.ok[pos] == lo  # inner-join semantics ≡ hash_join
-                if not hit.any():
-                    return empty
-                e = pa.table({
-                    "src": pa.array(self.ck[pos[hit]] * 2, type=pa.int64()),
-                    "dst": pa.array(sk[hit] * 2 + 1, type=pa.int64()),
-                })
-                e = e.group_by(["src", "dst"]).aggregate([])
-                return _pair_bucket(e)
+        def edge_probe(t: pa.Table) -> pa.Table:
+            # task-pool stage: ray.get of a shared ref is a zero-copy
+            # local-object-store read per task — no actor-pool width cap,
+            # the scan parallelizes like any other read→map stage
+            lk = ray.get(lookup_ref)
+            ok_s, ck_s = lk["ok"], lk["ck"]
+            empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64()),
+                              "bucket": pa.array([], pa.int32())})
+            if ok_s.size == 0 or t.num_rows == 0:
+                return empty
+            lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            pos = np.searchsorted(ok_s, lo)
+            np.minimum(pos, ok_s.size - 1, out=pos)
+            hit = ok_s[pos] == lo  # inner-join semantics ≡ hash_join
+            if not hit.any():
+                return empty
+            e = pa.table({
+                "src": pa.array(ck_s[pos[hit]] * 2, type=pa.int64()),
+                "dst": pa.array(sk[hit] * 2 + 1, type=pa.int64()),
+            })
+            e = e.group_by(["src", "dst"]).aggregate([])
+            return _pair_bucket(e)
 
         joined = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
-            .map_batches(EdgeProbe, batch_format="pyarrow",
-                         batch_size=_PARTIAL_BATCH, concurrency=(1, 8))
+            .map_batches(edge_probe, batch_format="pyarrow",
+                         batch_size=_PARTIAL_BATCH)
     else:
         from .joins import hash_join
 

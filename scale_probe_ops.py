@@ -246,8 +246,10 @@ def run_level(num_cpus: int, with_ab: bool) -> dict:
             rows = fn(sf)
             best = min(best, time.perf_counter() - t0)
         out[name] = {"sec": round(best, 2), "rows": int(rows)}
-    if with_ab:
-        # tokenizer A/B on identical input, same session (hi level only)
+    if with_ab and any(n == "heavy_tokens" for n, _ in ops):
+        # tokenizer A/B on identical input, same session (hi level only);
+        # skipped on targeted reruns that exclude heavy_tokens — the
+        # pylist pass alone costs ~380 s and its number would be unused
         heavy_tokens_pylist(warm)
         t0 = time.perf_counter()
         r = heavy_tokens_pylist(sf)
