@@ -448,6 +448,18 @@ class _PageRankShard:
                 v = t.column("v").to_numpy().astype(np.int64)
                 is_e = kind == 0
                 eu, ev = u[is_e], v[is_e]
+                if eu.size:
+                    # layout contract: every copy of a duplicate (u,v)
+                    # carries shard u % P and therefore lands HERE, so
+                    # local pair-dedup is globally exact — edge builds
+                    # ship per-batch-distinct streams and skip their
+                    # distinct all-to-all entirely (mirrors the
+                    # driver-intake form's np.unique over the pair set)
+                    o = np.lexsort((ev, eu))
+                    eu, ev = eu[o], ev[o]
+                    keep = np.r_[True,
+                                 (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])]
+                    eu, ev = eu[keep], ev[keep]
                 nodes = np.concatenate([eu, u[~is_e]])
             else:  # a partition can be legitimately empty
                 eu = ev = nodes = np.empty(0, dtype=np.int64)
@@ -548,8 +560,9 @@ def pagerank(edges: pd.DataFrame, src_col: str = "src", dst_col: str = "dst",
     ``iters`` synchronized fixed-point rounds.
 
     Driver-side edge intake is the test-scale form (same contract as
-    :func:`connected_components`); at corpus scale sink the distinct
-    edges with :func:`write_directed_edges` and run
+    :func:`connected_components`); at corpus scale sink the edge stream
+    (per-batch distinct suffices — the layout dedupes exactly on load)
+    with :func:`write_directed_edges` and run
     :func:`pagerank_from_edge_partitions` — shards then load their own
     pre-partitioned slices and the edge set never passes through the
     driver. The two forms are pytest-proven rank-identical (fixed-point
@@ -586,10 +599,13 @@ def write_directed_edges(
     ``shard == src % P`` — so every edge is resident with its source's
     rank/outdegree owner) plus a batch-deduped dst-node row (kind 1,
     ``shard == dst % P`` — so dst-only/dangling nodes are known to THEIR
-    owner without any shard ever scanning foreign slices). The caller
-    guarantees the pairs are globally distinct (the PageRank spec's edge
-    set); the shard math must agree with :class:`_PageRankShard` — this
-    helper is the single home for that invariant, like its CC sibling
+    owner without any shard ever scanning foreign slices). The pair
+    stream need NOT be globally distinct: every copy of (u,v) carries
+    the same shard (u % P), so :class:`_PageRankShard`'s load-time pair
+    dedup is globally exact — callers owe only per-batch distinct as a
+    volume combiner, and the whole edge intake costs no all-to-all. The
+    shard math must agree with :class:`_PageRankShard` — this helper is
+    the single home for that invariant, like its CC sibling
     :func:`write_symmetric_edges`."""
 
     def explode(t):

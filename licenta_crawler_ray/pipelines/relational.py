@@ -716,12 +716,12 @@ def supplier_pagerank(sf_dir: str, iters: int = _PR_ITERS,
     per lineitem batch (no join shuffle) while orders fits a worker heap,
     falling back to the reusable partitioned
     :func:`~licenta_crawler_ray.pipelines.joins.hash_join` above the cap
-    (see :func:`_supplier_pagerank_edges`), followed by ONE pair-hash
-    co-partition for exact distinct-ing; the
-    distinct stream then SINKS to the shard-partitioned directed-edge
-    layout (``graph.write_directed_edges`` — a worker-side streaming
-    write, the edge set never passes through the driver; the round-4
-    verdict's last driver hop) and the iteration runs on self-loading
+    (see :func:`_supplier_pagerank_edges`); the per-batch-distinct
+    stream SINKS straight to the shard-partitioned directed-edge layout
+    (``graph.write_directed_edges`` — a worker-side streaming write,
+    the edge set never passes through the driver) where each shard
+    dedupes its own slice exactly on load — the whole edge intake costs
+    ZERO all-to-all exchanges — and the iteration runs on self-loading
     Pregel-lite actor shards
     (:func:`~licenta_crawler_ray.pipelines.graph.pagerank_from_edge_partitions`
     — edges stay resident, only per-target pre-aggregated integer sums
@@ -747,30 +747,23 @@ def supplier_pagerank(sf_dir: str, iters: int = _PR_ITERS,
 _PR_ORDERS_BCAST_CAP = 8_000_000
 
 
-def _pair_bucket(e: pa.Table) -> pa.Table:
-    """Append the 64-way pair-hash co-partition key for exact distinct."""
-    b = pc.cast(
-        pc.bit_wise_and(
-            pc.bit_wise_xor(pc.multiply(e["src"], pa.scalar(2654435761, pa.int64())),
-                            e["dst"]),
-            pa.scalar(63, pa.int64())),
-        pa.int32())
-    return e.append_column("bucket", b)
-
-
 def _supplier_pagerank_edges(sf_dir: str):
-    """The DISTINCT namespaced edge Dataset (src=2·cust, dst=2·supp+1).
+    """The per-batch-DISTINCT namespaced edge stream (src=2·cust,
+    dst=2·supp+1) — NOT globally distinct: cross-batch duplicate pairs
+    survive (≤ one copy per batch). Global exactness is the edge
+    LAYOUT's contract — ``graph.write_directed_edges`` routes every
+    copy of (u,v) to shard ``u % P`` and ``_PageRankShard`` dedupes its
+    slice on load — so the build pays no distinct all-to-all.
 
-    Two builds, identical output. Below ``_PR_ORDERS_BCAST_CAP`` the
-    orders side broadcasts once as a sorted (o_orderkey → o_custkey)
-    int64 pair via ``ray.put`` and the lineitem scan probes it with a
-    vectorized ``searchsorted`` inside an actor pool — the l_orderkey
-    equi-join costs NO shuffle, and only the per-batch-distinct'd edge
-    stream moves into the 64-bucket exact distinct. (The round-5 probe
-    matrix showed the join's sort shuffle dominating this operator's
-    wall — eff 0.30@1M/0.50@2M, the one-box DRAM-bandwidth signature;
-    removing the shuffle removes the ceiling.) Above the cap: the
-    reusable partitioned :func:`~.joins.hash_join` form."""
+    Two builds, same distinct edge coverage. Below
+    ``_PR_ORDERS_BCAST_CAP`` the orders side broadcasts once as a
+    sorted (o_orderkey → o_custkey) int64 pair via ``ray.put`` and the
+    lineitem scan probes it with a vectorized ``searchsorted`` — the
+    l_orderkey equi-join costs NO shuffle either, leaving the whole
+    edge intake exchange-free (the round-5 probe matrix showed the
+    operator's wall was its 8-16M-row exchanges — eff 0.30@1M/0.50@2M,
+    the one-box DRAM-bandwidth signature). Above the cap: the reusable
+    partitioned :func:`~.joins.hash_join` form (one exchange)."""
     ods = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     n_orders = ods.count()  # parquet-metadata count on a fresh read
 
@@ -779,12 +772,8 @@ def _supplier_pagerank_edges(sf_dir: str):
         dst = pc.add(pc.multiply(t["l_suppkey"].cast(pa.int64()),
                                  pa.scalar(2, pa.int64())), pa.scalar(1, pa.int64()))
         e = pa.table({"src": src, "dst": dst})
-        # per-batch distinct (combiner before the co-partition)
-        e = e.group_by(["src", "dst"]).aggregate([])
-        return _pair_bucket(e)
-
-    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+        # per-batch distinct (volume combiner; the layout dedupes exactly)
+        return e.group_by(["src", "dst"]).aggregate([])
 
     if n_orders <= _PR_ORDERS_BCAST_CAP:
         ot = pa.concat_tables(ray.get(ods.to_arrow_refs()))
@@ -802,8 +791,7 @@ def _supplier_pagerank_edges(sf_dir: str):
             lk = ray.get(lookup_ref)
             ok_s, ck_s = lk["ok"], lk["ck"]
             empty = pa.table({"src": pa.array([], pa.int64()),
-                              "dst": pa.array([], pa.int64()),
-                              "bucket": pa.array([], pa.int32())})
+                              "dst": pa.array([], pa.int64())})
             if ok_s.size == 0 or t.num_rows == 0:
                 return empty
             lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
@@ -819,35 +807,33 @@ def _supplier_pagerank_edges(sf_dir: str):
                 "src": pa.array(ck_s[pos[hit]] * 2, type=pa.int64()),
                 "dst": pa.array(sk[hit] * 2 + 1, type=pa.int64()),
             })
-            e = e.group_by(["src", "dst"]).aggregate([])
-            return _pair_bucket(e)
+            return e.group_by(["src", "dst"]).aggregate([])
 
-        joined = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+        return _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
             .map_batches(edge_probe, batch_format="pyarrow",
                          batch_size=_PARTIAL_BATCH)
-    else:
-        from .joins import hash_join
 
-        li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
-            .map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"],
-                                             "l_suppkey": t["l_suppkey"]}),
-                         batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
-        joined = hash_join(li, ods, key="o_orderkey") \
-            .map_batches(edge_rows, batch_format="pyarrow",
-                         batch_size=_PARTIAL_BATCH)
+    from .joins import hash_join
 
-    return joined.groupby("bucket").map_groups(distinct_bucket,
-                                               batch_format="pandas")
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                                         "l_suppkey": t["l_suppkey"]}),
+                     batch_format="pyarrow", batch_size=_PARTIAL_BATCH)
+    return hash_join(li, ods, key="o_orderkey") \
+        .map_batches(edge_rows, batch_format="pyarrow",
+                     batch_size=_PARTIAL_BATCH)
 
 
 def _supplier_pagerank_ranks(sf_dir: str, iters: int,
                              workdir: str | None = None,
                              ranks_dir: str | None = None,
                              num_shards: int | None = None):
-    """Sink the distinct edges shard-partitioned, then iterate on
-    self-loading shards. The distinct stream is materialized (thin
-    2-int64 rows, object-store-resident) only to size the shard count
-    from its exact row count before the sink."""
+    """Sink the per-batch-distinct edge stream shard-partitioned (the
+    shards dedupe their slices exactly on load), then iterate on
+    self-loading shards. The stream is materialized (thin 2-int64 rows,
+    object-store-resident) only to size the shard count from its row
+    count — an upper bound of the distinct count, which only ever
+    rounds the adaptive shard sizing up — before the sink."""
     import shutil
     import tempfile
 

@@ -419,6 +419,37 @@ class TestProperties:
             assert w.equals(exp)
             shutil.rmtree(layout, ignore_errors=True)
 
+    def test_pagerank_layout_dedupes_duplicate_pairs_on_load(self):
+        """The directed-edge layout accepts a NON-distinct pair stream:
+        every copy of (u,v) lands in shard u%P, so the shard loader's
+        pair-dedup is globally exact — ranks must equal the distinct
+        input's (this is what lets the edge build skip its distinct
+        all-to-all and ship per-batch-distinct streams only)."""
+        import shutil
+
+        import pandas as pd
+        import ray.data as rd
+
+        from licenta_crawler_ray.pipelines.graph import (
+            pagerank, pagerank_from_edge_partitions, write_directed_edges)
+
+        rng = np.random.default_rng(23)
+        src = rng.integers(0, 300, 2000)
+        dst = rng.integers(0, 400, 2000)
+        distinct = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        # triplicate + shuffle row order: cross-batch duplicates guaranteed
+        dup = pd.concat([distinct] * 3, ignore_index=True).sample(
+            frac=1.0, random_state=7).reset_index(drop=True)
+        exp = pagerank(distinct, iters=4, num_shards=4)
+        layout = "/tmp/lcr_test_pr_dup_layout"
+        shutil.rmtree(layout, ignore_errors=True)
+        write_directed_edges(
+            rd.from_pandas(dup).repartition(6), "src", "dst",
+            layout, num_shards=4)
+        got = pagerank_from_edge_partitions(layout, iters=4, num_shards=4)
+        assert got.equals(exp)
+        shutil.rmtree(layout, ignore_errors=True)
+
     def test_pagerank_update_overflow_guard(self):
         """The fixed-point update refuses in-mass past the int64 bound
         instead of wrapping silently (round-4 advice)."""
