@@ -195,11 +195,21 @@ def scaling() -> None:
         os.sync()
         time.sleep(2)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_headline.py")],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        args = [sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_headline.py")]
+        proc = subprocess.run(args, env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # transient child deaths happen (co-tenant OOM; a Ray-core
+            # fresh-process race seen once) — surface stderr, retry once
+            sys.stderr.write(proc.stderr[-4000:])
+            sys.stderr.write(f"\n{n}-cpu child died; retrying once\n")
+            time.sleep(5)
+            proc = subprocess.run(args, env=env, capture_output=True,
+                                  text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"{n}-cpu scaling child failed")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
     t_lo, t_hi = results[4]["wall_sec"], results[16]["wall_sec"]
     eff = (t_lo / t_hi) / (16 / 4)
     print(json.dumps({

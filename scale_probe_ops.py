@@ -275,8 +275,15 @@ def main() -> None:
             args.append("--ab")
         proc = subprocess.run(args, capture_output=True, text=True)
         if proc.returncode != 0:
-            # a dead child (transient co-tenant OOM has happened) must not
-            # silently discard its stderr OR the other level's results
+            # transient child deaths happen (co-tenant OOM; once a Ray-core
+            # reference_count.cc:581 race in a fresh process) — retry the
+            # level ONCE before failing, and never silently discard the
+            # dead child's stderr or the other level's results
+            sys.stderr.write(proc.stderr[-4000:])
+            sys.stderr.write(f"\nlevel-{n} child died; retrying once\n")
+            time.sleep(5)
+            proc = subprocess.run(args, capture_output=True, text=True)
+        if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(f"level-{n} child failed (see stderr above)")
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
