@@ -619,32 +619,42 @@ def _word_bitmasks(sf_dir: str):
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
-    def words_of(df: pd.DataFrame) -> pd.DataFrame:
-        w = set()
-        for t in df["text"]:
-            w.update(t.split())
-        return pd.DataFrame({"word": sorted(w)})
+    def words_of(t: pa.Table) -> pa.Table:
+        # shared Arrow splitter + C-speed hash-unique; scalar str.split
+        # fallback lives inside tokens_arrow (non-ASCII-whitespace batches)
+        toks, _ = tokens_arrow(t["text"])
+        return pa.table({"word": pc.unique(toks)})
 
-    vocab = sorted(set(docs.map_batches(words_of, batch_format="pandas").to_pandas()["word"]))
-    vocab_ref = ray.put({w: i for i, w in enumerate(vocab)})
+    vocab = sorted(set(
+        docs.map_batches(words_of, batch_format="pyarrow")
+        .to_pandas()["word"]))
+    vocab_ref = ray.put(pa.array(vocab, type=pa.large_string()))
     nlimbs = max(1, (len(vocab) + 63) // 64)
 
     class Bitmask:
         def __init__(self):
-            self.index = ray.get(vocab_ref)
+            self.vocab = ray.get(vocab_ref)  # zero-copy Arrow array
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            masks = np.zeros((len(df), nlimbs), dtype=np.uint64)
-            for r, t in enumerate(df["text"]):
-                for w in set(t.split()):
-                    i = self.index[w]
-                    masks[r, i >> 6] |= np.uint64(1) << np.uint64(i & 63)
-            out = {"doc_id": df["doc_id"].to_numpy()}
+        def __call__(self, t: pa.Table) -> pa.Table:
+            masks = np.zeros((t.num_rows, nlimbs), dtype=np.uint64)
+            toks, tdoc = tokens_arrow(t["text"])
+            if len(toks):
+                pos_a = pc.index_in(toks, value_set=self.vocab)
+                # both passes tokenize every doc identically (clean docs:
+                # byte split ≡ str.split, property-tested; dirty batches
+                # fall back to str.split in BOTH), so a miss is impossible
+                assert pos_a.null_count == 0
+                pos = pos_a.to_numpy(zero_copy_only=False).astype(np.int64)
+                # OR is idempotent — duplicate tokens need no pre-dedup
+                np.bitwise_or.at(
+                    masks, (tdoc, pos >> 6),
+                    np.uint64(1) << (pos & 63).astype(np.uint64))
+            out = {"doc_id": t["doc_id"]}
             for l in range(nlimbs):
-                out[f"m{l}"] = masks[:, l].astype("int64")  # bit-cast for arrow
-            return pd.DataFrame(out)
+                out[f"m{l}"] = pa.array(masks[:, l].astype("int64"))  # bit-cast
+            return pa.table(out)
 
-    bm = docs.map_batches(Bitmask, batch_format="pandas", concurrency=_pool()).to_pandas()
+    bm = docs.map_batches(Bitmask, batch_format="pyarrow", concurrency=_pool()).to_pandas()
     bm = bm.sort_values("doc_id").reset_index(drop=True)
     ids = bm["doc_id"].to_numpy()
     masks = np.stack([bm[f"m{l}"].to_numpy().astype(np.uint64) for l in range(nlimbs)], axis=1)
@@ -681,44 +691,48 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     n = len(ids)
     block = 512
 
-    def block_score(df: pd.DataFrame) -> pd.DataFrame:
-        # stateless task: the broadcast state resolves zero-copy from the
-        # local object store per task (no actor pool spin-up for ~10 tasks)
+    # The block kernel fans out as RAW ray tasks — one per 512-row block
+    # start, broadcast state read zero-copy per task — the documented
+    # last-resort exception. Measured grounds (sf0.1, 32 CPUs, stage
+    # timing): (a) the original one-Dataset form ran the whole O(n²)
+    # stage SERIAL (from_arrow yields one block; batch_size=1 splits
+    # within the task, not across tasks); (b) fixed to 10 real blocks,
+    # the identical kernel ran 17-19 s per block inside Ray Data map
+    # workers vs 0.8 s in a raw task or on the driver — a reproducible
+    # ~20× Data-worker slowdown for this dense-temporary workload (same
+    # pid measured 0.007 s for the same sgemm as a raw task moments
+    # later). Raw fanout: whole stage 4.2 s. The start list is tiny
+    # (n/512 entries) and the operator's result is driver-bound by
+    # definition, so nothing corpus-sized transits the driver.
+    @ray.remote
+    def block_score(s: int):
         st = ray.get(state_ref)
         ids_l, popcnt_l = st["ids"], st["popcnt"]
         N = len(ids_l)
-        out_a, out_b = [], []
-        for s in df["start"]:
-            s = int(s)
-            if "bits" in st:
-                bits = st["bits"]
-                inter = (bits[s : s + block] @ bits.T).astype(np.int64)
-            else:
-                masks_l = st["masks"]
-                blk = masks_l[s : s + block]
-                inter = np.zeros((blk.shape[0], N), dtype=np.int64)
-                for l in range(masks_l.shape[1]):
-                    x = blk[:, l][:, None] & masks_l[:, l][None, :]
-                    inter += popcount_u64(x)
-            union = popcnt_l[s : s + block][:, None] + popcnt_l[None, :] - inter
-            jac = inter / np.maximum(union, 1)
-            ai, bi = np.nonzero(jac >= threshold)
-            keep = (s + ai) < bi  # a < b, no self-pairs
-            out_a.append(ids_l[s + ai[keep]])
-            out_b.append(ids_l[bi[keep]])
-        return pd.DataFrame({
-            "doc_a": np.concatenate(out_a).astype("int64") if out_a else
-                     np.array([], dtype="int64"),
-            "doc_b": np.concatenate(out_b).astype("int64") if out_b else
-                     np.array([], dtype="int64"),
-        })
+        if "bits" in st:
+            bits = st["bits"]
+            inter = (bits[s : s + block] @ bits.T).astype(np.int64)
+        else:
+            masks_l = st["masks"]
+            blk = masks_l[s : s + block]
+            inter = np.zeros((blk.shape[0], N), dtype=np.int64)
+            for l in range(masks_l.shape[1]):
+                x = blk[:, l][:, None] & masks_l[:, l][None, :]
+                inter += popcount_u64(x)
+        union = popcnt_l[s : s + block][:, None] + popcnt_l[None, :] - inter
+        jac = inter / np.maximum(union, 1)
+        ai, bi = np.nonzero(jac >= threshold)
+        keep = (s + ai) < bi  # a < b, no self-pairs
+        return ids_l[s + ai[keep]], ids_l[bi[keep]]
 
-    starts = pa.table({"start": pa.array(range(0, n, block), type=pa.int64())})
-    out = (
-        rd.from_arrow(starts)
-        .map_batches(block_score, batch_format="pandas", batch_size=1)
-        .to_pandas()
-    )
+    parts = ray.get([block_score.remote(s) for s in range(0, n, block)])
+    e = np.array([], dtype="int64")
+    out = pd.DataFrame({
+        "doc_a": np.concatenate([a for a, _ in parts]).astype("int64")
+                 if parts else e,
+        "doc_b": np.concatenate([b for _, b in parts]).astype("int64")
+                 if parts else e,
+    })
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
