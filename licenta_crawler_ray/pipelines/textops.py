@@ -696,12 +696,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     # last-resort exception. Measured grounds (sf0.1, 32 CPUs, stage
     # timing): (a) the original one-Dataset form ran the whole O(n²)
     # stage SERIAL (from_arrow yields one block; batch_size=1 splits
-    # within the task, not across tasks); (b) fixed to 10 real blocks,
-    # the identical kernel ran 17-19 s per block inside Ray Data map
-    # workers vs 0.8 s in a raw task or on the driver — a reproducible
-    # ~20× Data-worker slowdown for this dense-temporary workload (same
-    # pid measured 0.007 s for the same sgemm as a raw task moments
-    # later). Raw fanout: whole stage 4.2 s. The start list is tiny
+    # within the task, not across tasks); (b) the first large OpenBLAS
+    # GEMM in a FRESH Ray worker process stalls 6-18 s in SYSTEM time
+    # on this box (pthread-pool spin-up; warmed processes run it in
+    # ~0.1 s), and a fresh Dataset stage tends to land on fresh
+    # workers — raw fanout reuses the session's warmed default-pool
+    # workers and measured 4.2 s for the whole stage vs 17.3 s for the
+    # best Dataset form in the same session. The start list is tiny
     # (n/512 entries) and the operator's result is driver-bound by
     # definition, so nothing corpus-sized transits the driver.
     @ray.remote
