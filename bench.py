@@ -125,9 +125,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     # measured and isolated in BASELINE.md) — both belong to the session,
     # not the query; same steady-state protocol as the headline.
     # pricing_summary touches the largest table; the sf0.001 minhash warms
-    # the shuffle/grid-join machinery at 1/100 of the timed input.
+    # the shuffle/grid-join machinery at 1/100 of the timed input; the
+    # sf0.001 knn warms OpenBLAS in the worker pool (the first LARGE gemm
+    # in a fresh worker process stalls seconds in its pthread-pool
+    # spin-up — measured and root-caused in BASELINE.md round 5).
     qs["pricing_summary"](sf_dir)
     qs["minhash_lsh_pairs"]("/root/testdata/sf0.001")
+    qs["embedding_knn"]("/root/testdata/sf0.001")
     out = {}
     for name in QUERY_NAMES:
         t0 = time.perf_counter()
