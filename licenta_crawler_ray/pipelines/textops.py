@@ -1076,7 +1076,17 @@ def minhash_lsh_pairs_ds(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     pair list is big data; consume this with :func:`write_neardup_pairs`,
     never ``to_pandas``."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pyarrow")
+    # The band table MATERIALIZES before the shuffle: fusing the
+    # read→MinHasher scan into the repartition/sort input serialized the
+    # scan against the all-to-all on this Ray (measured end-to-end at 16
+    # CPUs on the 1M probe corpus: fused 49.1 s — the candidate stage
+    # alone 41.9 s — vs 19.9 s with the band table staged in the object
+    # store first; identical outputs). The staged rows are thin (ids +
+    # band hashes, no text), so at corpus scale this is a spillable
+    # object-store working set, the same trade k-means makes with its
+    # embedding matrix.
+    bands = docs.map_batches(cached_stage(MinHasher),
+                             batch_format="pyarrow").materialize()
     cand = bands.repartition(_shuffle_partitions()) \
         .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs_ds(cand, sf_dir, threshold)
@@ -1170,6 +1180,10 @@ def minhash_lsh_pairs_incremental(
         _docs(new_dir, columns=["doc_id", "text"])
         .map_batches(cached_stage(MinHasher), batch_format="pyarrow")
         .map_batches(_side_tag(1), batch_format="pyarrow")
+        # staged before the shuffle — see minhash_lsh_pairs_ds for the
+        # measured fused-scan pathology; the index side is a plain
+        # parquet read (no tokenize), only the new-batch scan fuses
+        .materialize()
     )
     cand = (
         idx.union(new_bands)
@@ -1334,7 +1348,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     at J=0.8 in tests.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(cached_stage(MinHasher), batch_format="pyarrow")
+    # staged before the shuffle — see minhash_lsh_pairs_ds for the
+    # measured fused-scan pathology (49.1 → 19.9 s at 1M docs)
+    bands = docs.map_batches(cached_stage(MinHasher),
+                             batch_format="pyarrow").materialize()
     cand = bands.repartition(_shuffle_partitions()) \
         .groupby("bucket").map_groups(_emit_bucket_pairs, batch_format="pandas")
     return _verify_pairs(cand, sf_dir, threshold)
